@@ -1,0 +1,318 @@
+"""Extractor fixtures mirrored from the reference test suite:
+- JSON: /root/reference/internal/pkg/crawl/extractor/json_test.go:12-83
+- XML:  /root/reference/internal/pkg/crawl/extractor/xml_test.go:12-129
+- Link header: /root/reference/internal/pkg/crawl/link_header_test.go:8-100
+plus HTML tag-inventory cases per crawl/assets.go:182-457 / outlinks.go:13-51.
+No Ray needed.
+"""
+
+from zeno_ray.extract import (
+    extract_from_page,
+    extract_html,
+    extract_m3u8,
+    extract_s3,
+    extract_text,
+    extract_xml,
+    urls_from_json,
+)
+from zeno_ray.linkheader import Link, parse_link_header
+
+
+# ---------------------------------------------------------------- JSON
+
+
+def test_json_valid_with_urls():
+    assert urls_from_json(
+        '{"url": "https://example.com", "nested": {"link": "http://test.com"}}'
+    ) == ["https://example.com", "http://test.com"]
+
+
+def test_json_invalid():
+    assert urls_from_json('{"url": "https://example.com"') == []
+
+
+def test_json_no_urls():
+    assert urls_from_json('{"key": "value", "number": 42}') == []
+
+
+def test_json_array_of_urls():
+    assert urls_from_json('{"links": ["https://example1.com", "https://example2.com"]}') == [
+        "https://example1.com",
+        "https://example2.com",
+    ]
+
+
+# ---------------------------------------------------------------- XML
+
+
+def test_xml_valid_with_urls():
+    urls, sitemap = extract_xml(
+        """
+        <root>
+            <item>http://example.com</item>
+            <nested><url>https://example.org</url></nested>
+            <noturl>just some text</noturl>
+        </root>"""
+    )
+    assert urls == ["http://example.com", "https://example.org"]
+    assert sitemap is False
+
+
+def test_xml_empty():
+    assert extract_xml("<root></root>") == ([], False)
+
+
+def test_xml_invalid():
+    assert extract_xml("<root><unclosed>") == ([], False)
+
+
+def test_xml_sitemap_by_namespace():
+    urls, sitemap = extract_xml(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://h.example/p1</loc></url>"
+        "<url><loc>https://h.example/p2</loc></url></urlset>"
+    )
+    assert sitemap is True
+    assert urls == ["https://h.example/p1", "https://h.example/p2"]
+
+
+def test_xml_sitemap_by_leaf_path():
+    _, sitemap = extract_xml("<x><sitemapentry>hello</sitemapentry></x>")
+    assert sitemap is True
+
+
+# ---------------------------------------------------------------- S3
+
+
+S3_LISTING_V1 = """<?xml version="1.0" encoding="UTF-8"?>
+<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+  <Name>bucket</Name><Prefix></Prefix><Marker></Marker>
+  <Contents><Key>a/file1.bin</Key><Size>10</Size></Contents>
+  <Contents><Key>a/file2.bin</Key><Size>0</Size></Contents>
+  <IsTruncated>false</IsTruncated>
+</ListBucketResult>"""
+
+
+def test_s3_v1_marker_and_files():
+    urls = extract_s3(S3_LISTING_V1, "https://bucket.s3.example/?prefix=a")
+    # marker pagination URL first (s3.go:69-76), then non-empty files
+    assert urls[0] == "https://bucket.s3.example/?marker=a%2Ffile2.bin&prefix=a"
+    assert "https://bucket.s3.example/a/file1.bin" in urls
+    assert "https://bucket.s3.example/a/file2.bin" not in urls  # Size 0 skipped
+
+
+def test_s3_v2_prefixes_and_continuation():
+    body = """<ListBucketResult>
+      <CommonPrefixes><Prefix>a/</Prefix></CommonPrefixes>
+      <CommonPrefixes><Prefix>b/</Prefix></CommonPrefixes>
+      <IsTruncated>true</IsTruncated>
+      <NextContinuationToken>tok1</NextContinuationToken>
+    </ListBucketResult>"""
+    urls = extract_s3(body, "https://bucket.s3.example/?list-type=2")
+    assert urls == [
+        "https://bucket.s3.example/?list-type=2&prefix=a%2F",
+        "https://bucket.s3.example/?list-type=2&prefix=b%2F",
+        "https://bucket.s3.example/?continuation-token=tok1&list-type=2",
+    ]
+
+
+# ---------------------------------------------------------------- M3U8
+
+
+def test_m3u8_media_playlist():
+    body = "#EXTM3U\n#EXT-X-TARGETDURATION:10\n#EXTINF:9.0,\nseg1.ts\n#EXTINF:9.0,\nseg2.ts\n#EXT-X-ENDLIST\n"
+    assert extract_m3u8(body, "https://h.example/v/playlist.m3u8") == [
+        "https://h.example/v/seg1.ts",
+        "https://h.example/v/seg2.ts",
+    ]
+
+
+def test_m3u8_master_playlist():
+    body = (
+        "#EXTM3U\n"
+        '#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID="aud",URI="audio/en.m3u8"\n'
+        "#EXT-X-STREAM-INF:BANDWIDTH=1280000\n"
+        "low/index.m3u8\n"
+        "#EXT-X-STREAM-INF:BANDWIDTH=2560000\n"
+        "https://cdn.example/high/index.m3u8\n"
+    )
+    assert extract_m3u8(body, "https://h.example/v/master.m3u8") == [
+        "https://h.example/v/audio/en.m3u8",
+        "https://h.example/v/low/index.m3u8",
+        "https://cdn.example/high/index.m3u8",
+    ]
+
+
+def test_m3u8_not_a_playlist():
+    assert extract_m3u8("hello", "https://h.example/x") == []
+
+
+# ---------------------------------------------------------------- Link header
+
+
+def test_link_header_one():
+    assert parse_link_header('<https://one.example.com>; rel="preconnect"') == [
+        Link("https://one.example.com", "preconnect")
+    ]
+
+
+def test_link_header_multiple():
+    got = parse_link_header(
+        '<https://test.com>; rel="preconnect", '
+        '<https://app.test.com>; rel="preconnect"; foo="bar", '
+        '<https://example.com>; rel="preconnect"'
+    )
+    assert got == [
+        Link("https://test.com", "preconnect"),
+        Link("https://app.test.com", "preconnect"),
+        Link("https://example.com", "preconnect"),
+    ]
+
+
+def test_link_header_one_malformed():
+    assert parse_link_header('https://one.example.com>;; rel=preconnect";') == [
+        Link("https://one.example.com", "preconnect")
+    ]
+
+
+def test_link_header_multiple_malformed():
+    got = parse_link_header(
+        '; rel="preconnect", https://app.test.com; rel=""; "bar", <>; ="preconnect"'
+    )
+    assert got == [Link("", "preconnect"), Link("https://app.test.com", ""), Link("", "")]
+
+
+# ---------------------------------------------------------------- HTML
+
+
+FULL_HTML = b"""<html><head>
+<base href="/sub/">
+<link rel="stylesheet" href="main.css">
+<link rel="alternate" href="feed.xml">
+<meta property="og:image" content="https://cdn.example/og.png">
+<style>body { background: url('bg.png'); }</style>
+<script src="app.js"></script>
+<script type="application/json">{"api": "https://api.example/v1"}</script>
+<script>var cfg = {"media": "https://cdn.example/m.mp4"};</script>
+</head><body>
+<p>Hello <b>world</b> &amp; visit https://plain.example/x now.</p>
+<a href="page2.html">two</a>
+<a href="https://other.example/abs#frag">abs</a>
+<iframe src="embed.html"></iframe>
+<ref target="reffed.html"></ref>
+<img src="i1.png" data-src="i2.png" srcset="i3.png 1x, i4.png 2x">
+<video src="v.mp4"></video>
+<audio src="a.mp3"></audio>
+<source src="s.webm" srcset="s1.webm 1x">
+<div style="background-image:url('div-bg.jpg')" data-preview="https://pre.example/p.jpg"></div>
+<div data-item='{"u": "https://item.example/d.json"}'></div>
+<script>ignored text</script>
+</body></html>"""
+
+
+def test_html_outlinks_and_base():
+    res = extract_from_page(
+        "https://h.example/dir/page.html", FULL_HTML, "text/html; charset=utf-8"
+    )
+    # <base href="/sub/"> resolves relative URLs (capture.go:558-578)
+    assert "https://h.example/sub/page2.html" in res.outlinks
+    assert "https://other.example/abs" in res.outlinks  # fragment removed
+    assert "https://h.example/sub/embed.html" in res.outlinks  # iframe
+    assert "https://h.example/sub/reffed.html" in res.outlinks  # ref[target]
+    assert "https://plain.example/x" in res.outlinks  # text link
+    # script text excluded from text scrape: "ignored text" has no URL anyway
+    assert res.text.count("https://plain.example/x") == 1
+
+
+def test_html_assets_inventory():
+    res = extract_from_page(
+        "https://h.example/dir/page.html", FULL_HTML, "text/html; charset=utf-8"
+    )
+    a = set(res.assets)
+    assert "https://h.example/sub/main.css" in a
+    assert "https://h.example/sub/feed.xml" not in a  # rel=alternate skipped
+    assert "https://cdn.example/og.png" in a  # meta content
+    assert "https://h.example/sub/bg.png" in a  # <style> css url()
+    assert "https://h.example/sub/app.js" in a  # script src
+    assert "https://api.example/v1" in a  # script application/json
+    assert "https://cdn.example/m.mp4" in a  # var x = {...} payload
+    assert {"https://h.example/sub/i1.png", "https://h.example/sub/i2.png",
+            "https://h.example/sub/i3.png", "https://h.example/sub/i4.png"} <= a
+    assert "https://h.example/sub/v.mp4" in a
+    assert "https://h.example/sub/a.mp3" in a
+    assert {"https://h.example/sub/s.webm", "https://h.example/sub/s1.webm"} <= a
+    assert "https://h.example/sub/div-bg.jpg" in a  # inline style bg
+    assert "https://pre.example/p.jpg" in a  # data-preview
+    assert "https://item.example/d.json" in a  # data-item JSON
+
+
+def test_html_capture_alternate_pages_flag():
+    res = extract_from_page(
+        "https://h.example/p", b'<html><body><link rel="alternate" href="f.xml"></body></html>',
+        "text/html", capture_alternate_pages=True,
+    )
+    assert res.assets == ["https://h.example/f.xml"]
+
+
+def test_html_disabled_tags():
+    res = extract_from_page(
+        "https://h.example/p",
+        b'<html><body><img src="x.png"><a href="y.html">y</a></body></html>',
+        "text/html",
+        disabled_tags=frozenset({"img"}),
+    )
+    assert res.assets == []
+    assert res.outlinks == ["https://h.example/y.html"]
+
+
+def test_text_extraction_entities_and_scripts():
+    html = b"<html><body><p>A &amp; B</p><script>var x = 'http://no.example';</script><i>C</i></body></html>"
+    # goquery .Text() semantics: raw text-node concatenation, no synthesized
+    # whitespace; script content excluded
+    assert extract_text(html) == "A & BC"
+
+
+def test_dispatch_binary_skipped():
+    res = extract_from_page("https://h.example/f.bin", b"\x00\x01", "application/octet-stream")
+    assert res.outlinks == [] and res.assets == [] and res.text == ""
+
+
+def test_dispatch_sitemap_vs_plain_xml():
+    sm = '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>https://h.example/p</loc></url></urlset>'
+    res = extract_from_page("https://h.example/sitemap.xml", sm, "application/xml")
+    assert res.outlinks == ["https://h.example/p"] and res.assets == []
+    plain = "<feed><media>https://h.example/m.png</media></feed>"
+    res2 = extract_from_page("https://h.example/feed.xml", plain, "application/xml")
+    assert res2.assets == ["https://h.example/m.png"] and res2.outlinks == []
+
+
+def test_dispatch_s3_by_server_header():
+    res = extract_from_page(
+        "https://bucket.s3.example/?prefix=a",
+        S3_LISTING_V1,
+        "application/xml",
+        server="AmazonS3",
+    )
+    assert "https://bucket.s3.example/a/file1.bin" in res.outlinks
+
+
+def test_dispatch_link_header_resolved_against_request_url():
+    res = extract_from_page(
+        "https://h.example/dir/p",
+        b"<html><head><base href='https://elsewhere.example/'></head><body></body></html>",
+        "text/html",
+        link_header='</style.css>; rel="preload"',
+    )
+    assert res.outlinks == ["https://h.example/style.css"]
+
+
+def test_script_unicode_unquote():
+    html = '<html><body><script>var u = "https://u.example/aéb";</script></body></html>'.encode()
+    res = extract_from_page("https://h.example/p", html, "text/html")
+    assert "https://u.example/a%C3%A9b" in res.assets
+
+
+def test_html_in_page_dedupe_first_wins():
+    html = b'<html><body><a href="a.html">1</a><a href="a.html">2</a><a href="b.html">3</a></body></html>'
+    res = extract_from_page("https://h.example/", html, "text/html")
+    assert res.outlinks == ["https://h.example/a.html", "https://h.example/b.html"]

@@ -1,0 +1,115 @@
+"""URL normalization vectors mirrored from the reference test suite
+(/root/reference/internal/pkg/utils/url_test.go:8-125). No Ray needed."""
+
+import pytest
+
+from zeno_ray import urlnorm
+
+
+VECTORS = [
+    # punycode host passthrough (url_test.go:8-19)
+    (
+        "https://xn----8sbddjhbicfsohgbg1aeo.xn--p1ia/pic/file/map_of_sarlat.pdf",
+        "https://xn----8sbddjhbicfsohgbg1aeo.xn--p1ia/pic/file/map_of_sarlat.pdf",
+    ),
+    # punycode + port (url_test.go:21-32)
+    (
+        "https://xn----8sbddjhbicfsohgbg1aeo.xn--p1ia:8080/pic/file/map_of_sarlat.pdf",
+        "https://xn----8sbddjhbicfsohgbg1aeo.xn--p1ia:8080/pic/file/map_of_sarlat.pdf",
+    ),
+    # unicode host -> IDNA, with port (url_test.go:34-45, 60-71)
+    (
+        "https://о-змладйвеклблнозеж.xn--p1ia:8080/pic/file/map_of_sarlat.pdf",
+        "https://xn----8sbddjhbicfsohgbg1aeo.xn--p1ia:8080/pic/file/map_of_sarlat.pdf",
+    ),
+    # unicode path percent-encoding (url_test.go:47-58)
+    (
+        "http://παράδειγμα.δοκιμή/Αρχική_σελίδα",
+        "http://xn--hxajbheg2az3al.xn--jxalpdlp/%CE%91%CF%81%CF%87%CE%B9%CE%BA%CE%AE_%CF%83%CE%B5%CE%BB%CE%AF%CE%B4%CE%B1",
+    ),
+    # IPv6 with and without port (url_test.go:73-97)
+    (
+        "https://[2600:4040:23c7:a620:3642:ebaa:ab23:735e]/test",
+        "https://[2600:4040:23c7:a620:3642:ebaa:ab23:735e]/test",
+    ),
+    (
+        "https://[2600:4040:23c7:a620:3642:ebaa:ab23:735e]:8080/test",
+        "https://[2600:4040:23c7:a620:3642:ebaa:ab23:735e]:8080/test",
+    ),
+    # spaces/unicode in query — youtube watch case (url_test.go:99-110)
+    (
+        "https://www.youtube.com/watch/0HBwC_wIFF4?t=18363石神視点【Minecraft】平日もど真ん中なんだから早く寝なきゃ【石神のぞみ／にじさんじ所属】https://www.youtube.com/watch/L30uAR9X8Uw?t=10100【倉持エン足中",
+        "https://www.youtube.com/watch/0HBwC_wIFF4?t=18363%E7%9F%B3%E7%A5%9E%E8%A6%96%E7%82%B9%E3%80%90Minecraft%E3%80%91%E5%B9%B3%E6%97%A5%E3%82%82%E3%81%A9%E7%9C%9F%E3%82%93%E4%B8%AD%E3%81%AA%E3%82%93%E3%81%A0%E3%81%8B%E3%82%89%E6%97%A9%E3%81%8F%E5%AF%9D%E3%81%AA%E3%81%8D%E3%82%83%E3%80%90%E7%9F%B3%E7%A5%9E%E3%81%AE%E3%81%9E%E3%81%BF%EF%BC%8F%E3%81%AB%E3%81%98%E3%81%95%E3%82%93%E3%81%98%E6%89%80%E5%B1%9E%E3%80%91https%3A%2F%2Fwww.youtube.com%2Fwatch%2FL30uAR9X8Uw%3Ft%3D10100%E3%80%90%E5%80%89%E6%8C%81%E3%82%A8%E3%83%B3%E8%B6%B3%E4%B8%AD",
+    ),
+    # reddit signature carve-out — query left untouched (url_test.go:113-124)
+    (
+        "https://styles.redditmedia.com/t5_7wkhw/styles/profileIcon_8w6r6fr3rh2d1.jpeg?width=64&height=64&frame=1&auto=webp&crop=64:64,smart&s=6d8ab9b89c9b846c9eb65622db9ced4992dc0905",
+        "https://styles.redditmedia.com/t5_7wkhw/styles/profileIcon_8w6r6fr3rh2d1.jpeg?width=64&height=64&frame=1&auto=webp&crop=64:64,smart&s=6d8ab9b89c9b846c9eb65622db9ced4992dc0905",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw,expected", VECTORS)
+def test_url_to_string_vectors(raw, expected):
+    assert urlnorm.canonicalize(raw, keep_fragment=True) == expected
+
+
+def test_query_key_order_preserved():
+    # keys never sorted (url.go:59-60); deterministic first-appearance order
+    assert (
+        urlnorm.canonicalize("http://h.example/p?z=1&a=2&m=3")
+        == "http://h.example/p?z=1&a=2&m=3"
+    )
+
+
+def test_query_values_grouped_by_key():
+    # Go's url.Values groups all values of one key together
+    assert (
+        urlnorm.canonicalize("http://h.example/p?b=1&a=2&b=3")
+        == "http://h.example/p?b=1&b=3&a=2"
+    )
+
+
+def test_fragment_removed_by_default():
+    assert urlnorm.canonicalize("http://h.example/p#frag") == "http://h.example/p"
+    assert urlnorm.strip_fragment("http://h.example/p#frag") == "http://h.example/p"
+
+
+def test_make_absolute():
+    assert (
+        urlnorm.make_absolute("http://h.example/dir/page", "../img.png")
+        == "http://h.example/img.png"
+    )
+    assert (
+        urlnorm.make_absolute("http://h.example/dir/", "http://other.example/x")
+        == "http://other.example/x"
+    )
+
+
+def test_validate_scheme_gate():
+    assert urlnorm.is_valid_url("https://ok.example/x")
+    assert not urlnorm.is_valid_url("ftp://nope.example/x")
+    assert not urlnorm.is_valid_url("mailto:a@b.c")
+    assert not urlnorm.is_valid_url("https:///nopath")
+    assert not urlnorm.is_valid_url("example.com/no-scheme")
+
+
+def test_clean_urls_dedupe_first_wins_and_scheme_filter():
+    out = urlnorm.clean_urls(
+        "http://h.example/base/",
+        ["a.html", "a.html#x", "ftp://h.example/f", "http://h2.example/b"],
+    )
+    assert out == ["http://h.example/base/a.html", "http://h2.example/b"]
+
+
+def test_registrable_domain():
+    assert urlnorm.registrable_domain("sub.foo.blogspot.com") == "blogspot.com"
+    assert urlnorm.registrable_domain("foo.example") == "foo.example"
+    assert urlnorm.registrable_domain("localhost") == ""
+
+
+def test_hash64_stable():
+    h = urlnorm.hash64("https://h.example/p")
+    assert h == urlnorm.hash64("https://h.example/p")
+    assert 0 <= h < 2**64
+    assert urlnorm.hash64_batch(["a", "b"]) == [urlnorm.hash64("a"), urlnorm.hash64("b")]
