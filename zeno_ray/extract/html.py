@@ -105,6 +105,7 @@ class _Collector(HTMLParser):
         self.meta: list[str] = []
         self.source: list[str] = []
         self.text_parts: list[str] = []
+        self._prebody_parts: list[str] = []  # used only for body-less docs
         self._body_depth = 0
         self._saw_body = False
         self._skip_text_depth = 0  # inside script/style
@@ -160,8 +161,13 @@ class _Collector(HTMLParser):
         if self._style_text is not None:
             self._style_text.append(data)
             return
-        if self._body_depth > 0 or not self._saw_body:
+        if self._body_depth > 0:
             self.text_parts.append(data)
+        else:
+            # head / pre-body text — only counted when the document never
+            # opens a <body> (goquery's net/html synthesizes one around
+            # everything in that case)
+            self._prebody_parts.append(data)
 
     # -- per-element attribute harvesting --------------------------------
     def _element(self, tag, a, start_tag):
@@ -298,7 +304,7 @@ def extract_html(
     except Exception:
         pass  # parse as far as possible; goquery is similarly lenient
 
-    text = "".join(col.text_parts)
+    text = "".join(col.text_parts if col._saw_body else col._prebody_parts + col.text_parts)
 
     outlinks: list[str] = []
     outlinks += col.a_href
