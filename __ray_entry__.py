@@ -1,44 +1,510 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayzeno graft (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship crawl on the sf0.001 synthetic corpus.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data ops); each callable takes ``sf_dir`` and returns a
+Dataset / pandas DataFrame / pyarrow Table.
+``oracle_sql()`` — DuckDB-checkable equivalents. Crawl-family oracles read
+the deterministic corpus Parquet that the matching query materializes under
+/tmp/rayzeno_corpus/sf0.01 (same seeded generator, so the SQL and the Ray
+pipeline see identical inputs); ops without a SQL equivalent (minhash,
+simhash, language-ID, ANN with float scores, multimodal stubs) are
+rows-only by design.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# the sf the driver's correctness gate runs at; oracle SQL strings are
+# static, so they hardcode this sf's corpus path
+_ORACLE_SF = 0.01
+_CORPUS_ROOT = "/tmp/rayzeno_corpus"
+_CRAWL_ROOT = "/tmp/rayzeno_crawl"
+
+# crawl config shared by the queries AND the recursive-CTE oracle
+_MAX_HOPS = 6
+
+
+def _quiet():
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        ctx.enable_progress_bars = False
+        ctx.execution_options.verbose_progress = False
+    except Exception:
+        pass
+
+
+def _corpus(sf_dir: str):
+    from zeno_ray.corpus import CorpusSpec, corpus_dir_for_sf, ensure_corpus, sf_of_dir
+
+    _quiet()
+    sf = sf_of_dir(sf_dir)
+    spec = CorpusSpec.for_sf(sf)
+    cdir = ensure_corpus(spec, corpus_dir_for_sf(sf, _CORPUS_ROOT))
+    return spec, cdir, sf
+
+
+def _crawl_cfg():
+    from zeno_ray.config import CrawlConfig
+
+    return CrawlConfig(max_hops=_MAX_HOPS, max_epochs=32, host_budget=0,
+                       seen_shards=8, fetch_concurrency=4)
+
+
+def _crawl(sf_dir: str):
+    """Run (once, cached on disk) the full BFS crawl for this sf; return the
+    CrawlResult with pages readable."""
+    from zeno_ray.crawl import CrawlResult, run_crawl
+
+    spec, cdir, sf = _corpus(sf_dir)
+    ckpt = os.path.join(_CRAWL_ROOT, f"sf{sf:g}")
+    done = os.path.join(ckpt, "_CRAWL_DONE")
+    if os.path.exists(done):
+        return CrawlResult(ckpt_dir=ckpt, epochs=0, pages_fetched=0, seen_size=0)
+    res = run_crawl(spec, _crawl_cfg(), ckpt)
+    with open(done, "w") as f:
+        f.write("ok")
+    return res
+
+
+# ------------------------------------------------------------------ entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full crawl of the sf0.001 synthetic web; returns the
+    crawled pages (url, host, status, hop, type, text, ...) as a Dataset."""
+    _quiet()
+    res = _crawl("/root/testdata/sf0.001")
+    return res.pages_dataset()
+
+
+# ------------------------------------------------------------------ queries
+
+
+def _q_crawl_pages(sf_dir: str):
+    import pandas as pd
+
+    res = _crawl(sf_dir)
+    pdf = res.pages_dataset().to_pandas()
+    out = pdf[pdf["type"] == "seed"][["url", "hop"]].copy()
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_crawl_text(sf_dir: str):
+    res = _crawl(sf_dir)
+    pdf = res.pages_dataset().to_pandas()
+    m = (
+        (pdf["type"] == "seed")
+        & (pdf["status"] == 200)
+        & pdf["content_type"].str.startswith("text/html")
+    )
+    return pdf[m][["url", "text"]].sort_values("url").reset_index(drop=True)
+
+
+def _q_crawl_assets(sf_dir: str):
+    res = _crawl(sf_dir)
+    pdf = res.pages_dataset().to_pandas()
+    out = pdf[pdf["type"] == "asset"][["url"]].drop_duplicates()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_extract_edges(sf_dir: str):
+    from zeno_ray.pipelines import extract_edges
+
+    _, cdir, _ = _corpus(sf_dir)
+    pdf = extract_edges(cdir).to_pandas().drop_duplicates()
+    return pdf.sort_values(["src", "dst", "kind"]).reset_index(drop=True)
+
+
+def _q_extract_text(sf_dir: str):
+    from zeno_ray.pipelines import extract_texts
+
+    _, cdir, _ = _corpus(sf_dir)
+    return extract_texts(cdir).to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def _q_host_stats(sf_dir: str):
+    from zeno_ray.pipelines import host_stats
+
+    _, cdir, _ = _corpus(sf_dir)
+    pdf = host_stats(cdir).to_pandas()
+    pdf["n_pages"] = pdf["n_pages"].astype("int64")
+    pdf["n_bytes"] = pdf["n_bytes"].astype("int64")
+    return pdf.sort_values("host").reset_index(drop=True)
+
+
+def _q_doc_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import exact_dedup
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = exact_dedup(docs).to_pandas()[["doc_id"]]
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.text import quality_features
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = (
+        docs.map_batches(quality_features, batch_format="pandas", batch_size=4096)
+        .to_pandas()[["doc_id", "n_chars", "n_tokens", "n_upper", "n_punct"]]
+    )
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_lang_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "n_chars"])
+    pdf = (
+        docs.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["sum_chars"] = pdf["sum_chars"].astype("int64")
+    return pdf
+
+
+def _q_doc_token_totals(sf_dir: str):
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": df["source"],
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+        })
+        return out.groupby("source", as_index=False).agg(
+            total_tokens=("n_tokens", "sum"), n_docs=("n_tokens", "size"))
+
+    pdf = (
+        docs.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("source")
+        .aggregate(Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pdf["total_tokens"] = pdf["total_tokens"].astype("int64")
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    return pdf
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.ann import brute_force_topk
+
+    _quiet()
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = emb.to_pandas()
+    queries = np.stack(
+        pdf[pdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")["embedding"].to_numpy()
+    )
+    out = brute_force_topk(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")), queries, k=10
+    )[["q", "vec_id"]]
+    out["q"] = out["q"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import minhash_dedup
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return minhash_dedup(docs)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import simhash_groups
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = simhash_groups(docs).to_pandas()[["doc_id", "cluster"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_langid(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.text import LangIdStage
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = docs.map_batches(LangIdStage, batch_format="pandas", batch_size=2048,
+                           concurrency=2).to_pandas()[["doc_id", "pred_lang"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.text import fingerprint
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = docs.map_batches(fingerprint, batch_format="pandas",
+                           batch_size=2048).to_pandas()[["doc_id", "fingerprint"]]
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import embedding_near_dup
+
+    _quiet()
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = embedding_near_dup(emb, threshold=0.9).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_lineitem_agg(sf_dir: str):
+    from zeno_ray.ops.relational import lineitem_agg
+
+    _quiet()
+    return lineitem_agg(sf_dir)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from zeno_ray.ops.relational import orders_by_segment
+
+    _quiet()
+    return orders_by_segment(sf_dir)
+
+
+def _q_top_users(sf_dir: str):
+    from zeno_ray.ops.relational import top_users_by_value
+
+    _quiet()
+    out = _round(top_users_by_value(sf_dir, k=10), "total_value", 4)
+    out["user_id"] = out["user_id"].astype("int64")
+    return out
+
+
+def _q_events_hourly(sf_dir: str):
+    from zeno_ray.ops.relational import events_hourly_window
+
+    _quiet()
+    out = events_hourly_window(sf_dir)
+    out = _round(out, "sum_value", 4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def _q_events_sessions(sf_dir: str):
+    from zeno_ray.ops.relational import sessionize_events
+
+    _quiet()
+    out = sessionize_events(sf_dir, gap_minutes=30)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _q_mm_decode(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.multimodal import DecodeImageStage, docs_to_fake_media
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    media = docs.map_batches(docs_to_fake_media, batch_format="pandas",
+                             batch_size=512)
+    pdf = media.map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pandas", batch_size=64, concurrency=2,
+    ).to_pandas()
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _round(df, col, n):
+    df = df.copy()
+    df[col] = df[col].round(n)
+    return df
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # crawl family (SURVEY.md §2 operators, over the synthetic corpus)
+        "crawl_pages": _q_crawl_pages,
+        "crawl_text": _q_crawl_text,
+        "crawl_assets": _q_crawl_assets,
+        "extract_edges": _q_extract_edges,
+        "extract_text": _q_extract_text,
+        "host_stats": _q_host_stats,
+        # training-data ops (driver tables)
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_stats": _q_doc_lang_stats,
+        "doc_token_totals": _q_doc_token_totals,
+        "ann_topk": _q_ann_topk,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # relational / streaming-shaped demos
+        "lineitem_agg": _q_lineitem_agg,
+        "orders_by_segment": _q_orders_by_segment,
+        "top_users": _q_top_users,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        # multimodal plumbing (deterministic fake decode)
+        "mm_decode": _q_mm_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+
+_CD = f"{_CORPUS_ROOT}/sf{_ORACLE_SF:g}"
+_PAGES = f"read_parquet('{_CD}/pages/*.parquet')"
+_EDGES = f"read_parquet('{_CD}/edges/*.parquet')"
+_SEEDS = f"read_parquet('{_CD}/seeds.parquet')"
+
+_REACH_CTE = f"""
+WITH RECURSIVE reach(url, hop) AS (
+    SELECT url, 0 AS hop FROM {_SEEDS}
+    UNION
+    SELECT e.dst,
+           r.hop + CASE WHEN e.kind = 'redirect' THEN 0 ELSE 1 END
+    FROM reach r
+    JOIN {_EDGES} e ON e.src = r.url
+    WHERE e.kind IN ('outlink', 'redirect')
+      AND r.hop + CASE WHEN e.kind = 'redirect' THEN 0 ELSE 1 END <= {_MAX_HOPS}
+),
+reach_min AS (SELECT url, MIN(hop) AS hop FROM reach GROUP BY url)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_pages": _REACH_CTE
+        + "SELECT url, hop FROM reach_min ORDER BY url",
+        "crawl_text": _REACH_CTE
+        + f"""
+        SELECT p.url AS url, p.text AS text
+        FROM reach_min r JOIN {_PAGES} p ON p.url = r.url
+        WHERE p.status = 200 AND p.content_type LIKE 'text/html%'
+        ORDER BY url""",
+        "crawl_assets": _REACH_CTE
+        + f"""
+        SELECT DISTINCT e.dst AS url
+        FROM reach_min r JOIN {_EDGES} e ON e.src = r.url
+        WHERE e.kind = 'asset' ORDER BY url""",
+        "extract_edges": f"""
+        SELECT DISTINCT src, dst, kind FROM {_EDGES}
+        WHERE kind != 'redirect' ORDER BY src, dst, kind""",
+        "extract_text": f"""
+        SELECT url, text FROM {_PAGES}
+        WHERE status = 200 AND content_type LIKE 'text/html%' ORDER BY url""",
+        "host_stats": f"""
+        SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+               COUNT(*) AS n_pages, SUM(octet_length(html)) AS n_bytes
+        FROM {_PAGES} GROUP BY 1 ORDER BY host""",
+        "doc_dedup_exact": """
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+        "doc_quality": """
+        SELECT doc_id,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+        FROM documents ORDER BY doc_id""",
+        "doc_lang_stats": """
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_token_totals": """
+        SELECT source,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source""",
+        "ann_topk": """
+        SELECT q, vec_id FROM (
+            SELECT q.vec_id AS q, e.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                        WHERE vec_id IN (0, 1, 2)) q)
+        WHERE rn <= 10 ORDER BY q, vec_id""",
+        "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(SUM(l_quantity), 2) AS sum_qty,
+               round(SUM(l_extendedprice), 2) AS sum_price,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+        "orders_by_segment": """
+        SELECT c_mktsegment, round(SUM(o_totalprice), 2) AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "top_users": """
+        SELECT user_id, round(SUM(value), 4) AS total_value
+        FROM events GROUP BY user_id ORDER BY SUM(value) DESC LIMIT 10""",
+        "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""",
+        "events_sessions": """
+        WITH g AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g)
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    }

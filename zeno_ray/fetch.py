@@ -1,0 +1,125 @@
+"""Fetcher actor-pool stage: frontier rows → fetched page records.
+
+Role of the reference's WARC-recording HTTP client + executeGET
+(``internal/pkg/crawl/capture.go:58-181``, ``crawl.go:101-150``):
+- retry loop, ≤ ``max_retry`` attempts, 429 handled by backing off and
+  retrying (capture.go:84-114) — the sandbox corpus encodes "needs N
+  retries" in ``attempts_needed``; backoff sleeps are counted, not slept;
+- redirect follower, ≤ ``max_redirect`` hops, each hop recorded as its own
+  row, the target seen-checked mid-chain and the chain abandoned when the
+  target was already seen (capture.go:120-178);
+- in this sandbox the "HTTP server" is the deterministic pure function
+  :meth:`zeno_ray.corpus.CorpusSpec.lookup`, so fetching is CPU-only,
+  needs no lookup table, and scales with the actor pool.
+
+A callable class ⇒ Ray actor pool: per-actor state (corpus spec, seen-shard
+handles) is built once in ``__init__``; batches stream through ``__call__``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from zeno_ray.corpus import CorpusSpec
+from zeno_ray.seen import check_and_add_batched
+from zeno_ray.urlnorm import REDIRECT_STATUSES, canonicalize, hash64, host_of, make_absolute
+
+FETCHED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("status", pa.int16()),
+        ("content_type", pa.string()),
+        ("html", pa.binary()),
+        ("lang", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("redirect_location", pa.string()),
+        ("link_header", pa.string()),
+        ("server", pa.string()),
+        ("hop", pa.int32()),
+        ("type", pa.string()),
+        ("parent_url", pa.string()),
+        ("order", pa.int64()),
+        ("n_retries", pa.int32()),
+    ]
+)
+
+
+class Fetcher:
+    """map_batches(Fetcher, concurrency=N) — batch of frontier rows in,
+    batch of fetched records out (one extra row per redirect hop)."""
+
+    def __init__(self, spec: CorpusSpec, seen_shards: list, max_retry: int = 5,
+                 max_redirect: int = 20):
+        self.spec = spec
+        self.seen = seen_shards
+        self.max_retry = max_retry
+        self.max_redirect = max_redirect
+
+    def _fetch_one(self, url: str):
+        """(record, n_retries) after the 429 retry loop (capture.go:58-117)."""
+        rec = self.spec.lookup(url)
+        retries = 0
+        while retries < rec.attempts_needed and retries < self.max_retry:
+            retries += 1  # 429 → backoff → retry (backoff counted, not slept)
+        if rec.attempts_needed > 0 and retries >= self.max_retry:
+            return None, retries  # gave up on a permanently-429 URL
+        return rec, retries
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in FETCHED_SCHEMA.names}
+        if batch.num_rows == 0:
+            return pa.table({k: [] for k in out}, schema=FETCHED_SCHEMA)
+
+        urls = batch["url"].to_pylist()
+        hops = batch["hop"].to_pylist()
+        types = batch["type"].to_pylist()
+        parents = batch["parent_url"].to_pylist()
+        orders = batch["order"].to_pylist()
+
+        def emit(url, rec, hop, typ, parent, order, retries):
+            out["url"].append(url)
+            out["host"].append(host_of(url))
+            out["status"].append(rec.status)
+            out["content_type"].append(rec.content_type)
+            out["html"].append(rec.html)
+            out["lang"].append(rec.lang)
+            out["warc_ts"].append(rec.warc_ts)
+            out["redirect_location"].append(rec.redirect_location)
+            out["link_header"].append(rec.link_header)
+            out["server"].append(rec.server)
+            out["hop"].append(hop)
+            out["type"].append(typ)
+            out["parent_url"].append(parent)
+            out["order"].append(order)
+            out["n_retries"].append(retries)
+
+        # redirect chains advance in waves so the mid-chain seen-checks are
+        # batched across the whole input batch (capture.go:142-158 does one
+        # URL at a time; same semantics, one RPC round per chain depth)
+        pending = list(zip(urls, hops, types, parents, orders))
+        depth = 0
+        while pending and depth <= self.max_redirect:
+            next_targets = []  # (target, hop, typ, parent, order)
+            for url, hop, typ, parent, order in pending:
+                rec, retries = self._fetch_one(url)
+                if rec is None:
+                    continue
+                emit(url, rec, hop, typ, parent, order, retries)
+                if rec.status in REDIRECT_STATUSES and rec.redirect_location:
+                    target = canonicalize(
+                        make_absolute(url, rec.redirect_location)
+                    )
+                    if target and target != url:  # self-redirect stop (capture.go:121)
+                        next_targets.append((target, hop, typ, url, order))
+            if not next_targets:
+                break
+            # seen-check the redirect targets; only new ones are followed
+            h = np.array([hash64(t[0]) for t in next_targets], dtype=np.uint64)
+            new_mask = check_and_add_batched(self.seen, h)
+            pending = [t for t, m in zip(next_targets, new_mask) if m]
+            depth += 1
+
+        return pa.table({k: pa.array(v, FETCHED_SCHEMA.field(k).type) for k, v in out.items()},
+                        schema=FETCHED_SCHEMA)

@@ -1,0 +1,178 @@
+"""Frontier: host-keyed FIFO ordering, per-epoch politeness budget, host
+first-appearance registry.
+
+Reproduces the reference's crawl-ordering contract (SURVEY.md §2.7,
+``queue/dequeue.go:135-158``, ``queue/index/index.go:48-90``):
+- per-host FIFO: the frontier's (seq_epoch, seq_order, seq_pos) triple is
+  the enqueue order, assigned distributedly with NO shuffle — seq_order is
+  the parent's global fetch order, seq_pos the in-page position;
+- round-robin across hosts in first-appearance order: ``host_seq`` is the
+  host's discovery rank; the per-epoch fetch slice is ordered by
+  (rank_within_host, host_seq), which with budget=1 replays Zeno's strict
+  host rotation exactly (dequeue_test.go:84-140);
+- per-epoch budget: at most ``budget`` rows per host per epoch (politeness);
+  the rest carry over — Zeno's one-item-per-host-per-turn generalized.
+
+The groupby(host) rank step is the ONE wide shuffle of the loop and moves
+only frontier rows (url + a few ints). Host registry: a per-epoch
+aggregate of new hosts (tiny — rows = newly discovered hosts) merged into a
+driver-side dict, checkpointed to Parquet; at 10^8-host scale the same
+registry becomes a Parquet-backed join keyed by host, same columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from zeno_ray.urlnorm import canonicalize, hash64, host_of
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("hash", pa.uint64()),
+        ("hop", pa.int32()),
+        ("type", pa.string()),
+        ("parent_url", pa.string()),
+        ("seq_epoch", pa.int32()),
+        ("seq_order", pa.int64()),
+        ("seq_pos", pa.int32()),
+        ("host_seq", pa.int64()),
+    ]
+)
+
+# fetch-slice "order" = rank * 2^31 + host_seq; both factors bounded well
+# below 2^31 (rank < rows-per-host-per-epoch, host_seq < #hosts)
+ORDER_RANK_SHIFT = np.int64(1) << np.int64(31)
+
+
+def seed_frontier(seed_urls: list[str]) -> tuple[pa.Table, dict[str, int]]:
+    """Epoch-0 frontier from a seed list (order = file order, invalid URLs
+    skipped, duplicates dropped first-wins — queue/item.go:53-102 +
+    crawl.go:218-235). Returns (frontier table, host registry)."""
+    rows = []
+    seen: set[str] = set()
+    hosts: dict[str, int] = {}
+    for i, raw in enumerate(seed_urls):
+        c = canonicalize(raw)
+        if not c:
+            continue
+        from zeno_ray.urlnorm import is_valid_url
+
+        if not is_valid_url(c) or c in seen:
+            continue
+        seen.add(c)
+        host = host_of(c)
+        if host not in hosts:
+            hosts[host] = len(hosts)
+        rows.append(
+            {
+                "url": c, "host": host, "hash": hash64(c), "hop": 0,
+                "type": "seed", "parent_url": "", "seq_epoch": -1,
+                "seq_order": i, "seq_pos": 0, "host_seq": hosts[host],
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA)
+    return table, hosts
+
+
+def rank_frontier(frontier_ds, budget: int):
+    """Assign per-host FIFO rank; split into (fetch_slice, carryover).
+
+    fetch_slice rows gain ``order`` (the global deterministic fetch order
+    key) and drop the seq columns; carryover keeps the frontier schema.
+    budget == 0 → everything is fetched (pure BFS epoch).
+    """
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seq_epoch", "seq_order", "seq_pos"], kind="stable")
+        g = g.assign(rank=np.arange(len(g), dtype=np.int64))
+        return g
+
+    ranked = frontier_ds.groupby("host").map_groups(
+        rank_group, batch_format="pandas"
+    ).materialize()
+    if budget > 0:
+        fetch = ranked.filter(expr=f"rank < {budget}")
+        carry = ranked.filter(expr=f"rank >= {budget}")
+    else:
+        fetch = ranked
+        carry = None
+
+    def to_fetch_slice(df: pd.DataFrame) -> pd.DataFrame:
+        order = df["rank"].to_numpy(np.int64) * np.int64(ORDER_RANK_SHIFT) + df[
+            "host_seq"
+        ].to_numpy(np.int64)
+        out = df[["url", "host", "hash", "hop", "type", "parent_url"]].copy()
+        out["order"] = order
+        return out
+
+    fetch = fetch.map_batches(to_fetch_slice, batch_format="pandas")
+    if carry is not None:
+        carry = carry.drop_columns(["rank"])
+    return fetch, carry
+
+
+def assign_host_seq(cand_ds, hosts: dict[str, int]):
+    """Register newly-discovered hosts in first-appearance order and attach
+    ``host_seq`` to every candidate row.
+
+    New hosts are ordered by (min seq_order, min seq_pos, host) — a tiny
+    groupby aggregate (rows = distinct new hosts), deterministic. Mutates
+    *hosts* (the driver-side registry) and returns the dataset with the
+    ``host_seq`` column attached via a broadcast lookup."""
+    from ray.data.aggregate import Min
+
+    known = set(hosts)
+    agg = (
+        cand_ds.groupby("host")
+        .aggregate(Min("seq_order", alias_name="mo"), Min("seq_pos", alias_name="mp"))
+        .to_pandas()
+    )
+    if len(agg) and "host" in agg.columns:
+        new = agg[~agg["host"].isin(known)].sort_values(
+            ["mo", "mp", "host"], kind="stable"
+        )
+        for h in new["host"]:
+            hosts[h] = len(hosts)
+    mapping = dict(hosts)  # snapshot for serialization into the task
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["host_seq"] = df["host"].map(mapping).astype(np.int64)
+        return df
+
+    return cand_ds.map_batches(attach, batch_format="pandas")
+
+
+def candidates_to_frontier_rows(cand_ds, epoch: int):
+    """Outlink candidates (already host_seq-attached) → frontier schema."""
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["url", "host", "hash", "hop", "type", "parent_url",
+                  "seq_order", "seq_pos", "host_seq"]].copy()
+        out.insert(6, "seq_epoch", np.int32(epoch))
+        return out
+
+    return cand_ds.map_batches(shape, batch_format="pandas")
+
+
+def save_hosts(hosts: dict[str, int], path: str) -> None:
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "host": pa.array(list(hosts.keys()), pa.string()),
+            "host_seq": pa.array(list(hosts.values()), pa.int64()),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def load_hosts(path: str) -> dict[str, int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return dict(zip(t["host"].to_pylist(), t["host_seq"].to_pylist()))

@@ -1,0 +1,268 @@
+"""Deduplication over the ``documents`` table — exact and near-dup.
+
+Scale shapes (ray_guide + MinHash/LSH literature, Broder 1997):
+- exact: vectorized content-hash column → groupby(hash) keep-first — ONE
+  all-to-all over (hash, doc_id) pairs only, never the text;
+- MinHash+LSH: per-batch shingle→minhash signatures (numpy), explode to
+  (band, band_hash) rows, groupby bands → candidate pairs, verify Jaccard,
+  greedy min-label clustering (candidate graph is tiny relative to input);
+- SimHash: 64-bit hyperplane-free simhash over token hashes; near-dup =
+  identical simhash bucket (hamming-0 fast path) — bucketed groupby;
+- n-gram Jaccard verify + embedding-cosine near-dup live here too.
+
+Determinism: all hashing via blake2b/stable numpy; no Python ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _h64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+def add_text_hash(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    out = df.copy()
+    out["text_hash"] = np.fromiter(
+        (_h64(t.encode("utf-8", "ignore")) for t in out[col]),
+        dtype=np.uint64,
+        count=len(out),
+    )
+    return out
+
+
+def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest-id row per exact text: map_batches hash → groupby
+    keep-first. Returns a Dataset of the surviving rows' ids + hash."""
+    hashed = docs_ds.map_batches(add_text_hash, batch_format="pandas")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="stable").iloc[:1]
+
+    return (
+        hashed.select_columns([id_col, "text_hash"])
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        return np.array([_h64(t.encode())], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (_h64(t[i: i + k].encode()) for i in range(len(t) - k + 1)),
+            dtype=np.uint64,
+            count=len(t) - k + 1,
+        )
+    )
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHashStage:
+    """Per-batch MinHash signatures (n_perm universal-hash permutations,
+    vectorized). Permutation coefficients are built once per actor from a
+    fixed seed."""
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+        self.b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+        self.k = shingle_k
+        self.n_perm = n_perm
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k) & _MERSENNE
+        # (n_perm, n_shingles) universal hashing, min over shingles
+        v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1).astype(np.uint64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        out = batch[["doc_id"]].copy()
+        out["minhash"] = list(sigs)
+        return out
+
+
+def minhash_lsh_bands(sig_df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
+    """Explode signatures to (doc_id, band, band_hash) rows for the LSH
+    bucket groupby."""
+    rows_id, rows_band, rows_hash = [], [], []
+    for doc_id, sig in zip(sig_df["doc_id"], sig_df["minhash"]):
+        sig = np.asarray(sig, dtype=np.uint64)
+        r = len(sig) // n_bands
+        for b in range(n_bands):
+            band = sig[b * r: (b + 1) * r]
+            rows_id.append(doc_id)
+            rows_band.append(b)
+            rows_hash.append(_h64(band.tobytes()))
+    return pd.DataFrame(
+        {"doc_id": rows_id, "band": rows_band,
+         "band_hash": np.asarray(rows_hash, dtype=np.uint64)}
+    )
+
+
+def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
+                  jaccard_threshold: float = 0.8):
+    """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
+    (doc_id, cluster) for every input doc; cluster = min doc_id of its
+    near-dup group. Candidate pairs are verified with real signature
+    Jaccard before clustering.
+
+    The candidate-pair set and cluster map are assumed small relative to
+    the corpus (the usual LSH regime); both are reduced driver-side. The
+    signature/banding stages stream.
+    """
+    stage = MinHashStage(n_perm=n_perm)
+    sigs = docs_ds.map_batches(
+        MinHashStage, fn_constructor_kwargs={"n_perm": n_perm},
+        batch_format="pandas", batch_size=1024, concurrency=4,
+    )
+    bands = sigs.map_batches(
+        lambda df: minhash_lsh_bands(df, n_bands=n_bands), batch_format="pandas"
+    )
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        a, b = np.meshgrid(ids, ids)
+        m = a < b
+        return pd.DataFrame({"a": a[m], "b": b[m]})
+
+    pairs = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    sig_pdf = sigs.to_pandas().set_index("doc_id")["minhash"]
+    keep = []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa = np.asarray(sig_pdf[a], dtype=np.uint64)
+        sb = np.asarray(sig_pdf[b], dtype=np.uint64)
+        if (sa == sb).mean() >= jaccard_threshold:
+            keep.append((int(a), int(b)))
+    # greedy min-label union-find over the (small) verified pair graph
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in keep:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    all_ids = sig_pdf.index.to_numpy()
+    return pd.DataFrame(
+        {"doc_id": all_ids, "cluster": [find(int(i)) for i in all_ids]}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash over word-token hashes (Charikar 2002)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        sims = []
+        for text in batch["text"]:
+            toks = text.lower().split()
+            if not toks:
+                sims.append(0)
+                continue
+            hs = np.fromiter((_h64(t.encode()) for t in toks),
+                             dtype=np.uint64, count=len(toks))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+            score = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
+            v = np.uint64(0)
+            for bitpos in np.nonzero(score > 0)[0]:
+                v |= np.uint64(1) << np.uint64(bitpos)
+            sims.append(int(v))
+        out["simhash"] = np.asarray(sims, dtype=np.uint64)
+        return out
+
+
+def simhash_groups(docs_ds):
+    """Docs sharing an identical simhash (hamming-0 near-dup bucket)."""
+    sims = docs_ds.map_batches(SimHashStage, batch_format="pandas",
+                               batch_size=1024, concurrency=4)
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        return g.assign(cluster=g["doc_id"].iloc[0])
+
+    return sims.groupby("simhash").map_groups(group, batch_format="pandas")
+
+
+# -------------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa = {a[i: i + k] for i in range(max(1, len(a) - k + 1))}
+    sb = {b[i: i + k] for i in range(max(1, len(b) - k + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------- embedding cosine
+
+
+def embedding_near_dup(emb_ds, threshold: float = 0.95):
+    """Embedding-cosine near-dup: normalized matmul per batch against the
+    full (broadcast) matrix — exact at sandbox scale; the IVF-bucketed
+    variant in ops/ann.py is the 10^9-row path. Returns (vec_id, dup_of)
+    for rows whose nearest other row exceeds *threshold*."""
+    import ray
+
+    pdf = emb_ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.clip(norms, 1e-12, None)
+    ids = pdf["vec_id"].to_numpy()
+    mat_ref = ray.put((ids, mat))
+
+    class NearDup:
+        def __init__(self, ref, thr):
+            self.ids, self.mat = ray.get(ref)
+            self.thr = thr
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+            sims = q @ self.mat.T
+            out_id, out_dup, out_sim = [], [], []
+            for row_i, vid in enumerate(batch["vec_id"]):
+                s = sims[row_i]
+                order = np.argsort(-s)
+                for j in order:
+                    if self.ids[j] != vid:
+                        if s[j] >= self.thr:
+                            out_id.append(vid)
+                            out_dup.append(int(self.ids[j]))
+                            out_sim.append(float(s[j]))
+                        break
+            return pd.DataFrame({"vec_id": out_id, "dup_of": out_dup,
+                                 "sim": np.round(out_sim, 6)})
+
+    return emb_ds.map_batches(
+        NearDup, fn_constructor_kwargs={"ref": mat_ref, "thr": threshold},
+        batch_format="pandas", batch_size=512, concurrency=4,
+    )

@@ -1,0 +1,170 @@
+"""General relational demos over the TPC-H-ish driver tables — groupby
+aggregates with partial pre-aggregation, broadcast hash join, sort/limit
+top-k, tumbling-window aggregation over the events stream. These prove the
+engine's generic query surface; column names match the DuckDB oracles in
+``__ray_entry__`` exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped aggregate with per-batch partial aggregation before
+    the (tiny) groupby — the combiner pattern from ray_guide 'Aggregation
+    at scale'."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1.0 - df["l_discount"]),
+            n=1,
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            n=("n", "sum"),
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["sum_price"] = out["sum_price"].round(2)
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer broadcast hash join (small side ray.put once, read
+    in each batch task) → revenue per market segment."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Join:
+        def __init__(self, ref):
+            self.map = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            seg = df["o_custkey"].map(self.map)
+            out = pd.DataFrame({"c_mktsegment": seg,
+                                "o_totalprice": df["o_totalprice"]})
+            g = out.groupby("c_mktsegment", as_index=False).agg(
+                total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+            return g
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(Join, fn_constructor_kwargs={"ref": cust_ref},
+                     batch_format="pandas", batch_size=65536, concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("total_price", alias_name="total_price"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["total_price"] = out["total_price"].round(2)
+    return out
+
+
+def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """events: partial per-batch sums → groupby user → global top-k
+    (sort + limit)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", columns=["user_id", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(Sum("total_value", alias_name="total_value"))
+        .sort("total_value", descending=True)
+        .limit(k)
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(6)
+    return out
+
+
+def events_hourly_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (streaming-shaped workload on
+    the ordered events log): window key computed vectorized per batch, then
+    pre-aggregated, then the small groupby."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["ts"].dt.floor("h")
+        out = pd.DataFrame({"event_type": df["event_type"], "window_start": w,
+                            "value": df["value"]})
+        return out.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Session windows per user (gap-based): groupby(user) → per-group
+    sorted pandas sessionization — the map_groups streaming-window pattern.
+    Returns per-session rows (user_id, session_start, n_events)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e12)
+        sid = (gaps > gap_minutes * 60).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"), session_start=("ts", "first"),
+            n_events=("ts", "size"))
+        return out.reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,123 @@
+"""Text analysis over the ``documents`` table: language-ID, quality scoring,
+token counting, document fingerprinting. All vectorized ``map_batches``
+stages; the stateful ones (compiled regexes, stopword tables) are callable
+classes ⇒ actor pools with per-actor setup.
+
+The SQL-oracle-checkable metrics are defined to match DuckDB expressions
+exactly (see __ray_entry__.oracle_sql): e.g. ``n_tokens`` is
+``len(string_split(text, ' '))`` semantics — split on single spaces, empty
+pieces count — NOT a linguistic tokenizer; the BPE-ish token estimate and
+language-ID are heuristic (rows-only checks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# tiny per-language stopword signatures for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "une", "que", "dans"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"},
+    "es": {"el", "la", "los", "de", "que", "y", "en", "un", "es", "por"},
+}
+
+
+class LangIdStage:
+    """Heuristic language-ID (stopword-overlap; non-Latin script ratio for
+    ja). Stateful: marker tables + regexes built once per actor."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñáíóúäöüß]+")
+        self.cjk = re.compile(r"[぀-ヿ一-鿿]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for text in batch["text"]:
+            t = text[:2000]
+            if len(self.cjk.findall(t)) > max(8, len(t) * 0.05):
+                preds.append("ja")
+                continue
+            words = set(w.lower() for w in self.word.findall(t))
+            best, best_n = "en", 0
+            for lang, markers in _LANG_MARKERS.items():
+                n = len(words & markers)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        batch = batch.copy()
+        batch["pred_lang"] = preds
+        return batch
+
+
+def quality_features(df: pd.DataFrame) -> pd.DataFrame:
+    """SQL-matchable quality metrics (see oracle in __ray_entry__):
+    n_chars, n_tokens (single-space split), n_upper, punct chars, plus a
+    composite quality score in [0,1]."""
+    text = df["text"]
+    n_chars = text.str.len().astype(np.int64)
+    n_tokens = (text.str.count(" ") + 1).astype(np.int64)
+    n_upper = text.str.count(r"[A-Z]").astype(np.int64)
+    n_punct = text.str.count(r"[.,;:!?]").astype(np.int64)
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens.clip(lower=1)
+    score = (
+        1.0
+        - (mean_tok_len.clip(2, 14) - 2) / 24.0
+        - (n_punct / n_chars.clip(lower=1)).clip(0, 0.5)
+    ).clip(0, 1)
+    out = df.copy()
+    out["n_chars"] = n_chars
+    out["n_tokens"] = n_tokens
+    out["n_upper"] = n_upper
+    out["n_punct"] = n_punct
+    out["quality"] = score.round(6)
+    return out
+
+
+_BPE_RE = re.compile(r"\w+|[^\w\s]")
+
+
+class TokenCountStage:
+    """Whitespace tokens + a BPE-ish estimate (regex pieces × avg 1.3
+    subwords per 4+ char word). Compiled once per actor."""
+
+    def __init__(self):
+        self.re = _BPE_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        est = []
+        for text in batch["text"]:
+            pieces = self.re.findall(text)
+            est.append(sum(1 + (len(p) - 1) // 4 for p in pieces))
+        batch = batch.copy()
+        batch["n_tokens_ws"] = batch["text"].str.split().map(len).astype(np.int64)
+        batch["n_tokens_bpe_est"] = np.asarray(est, dtype=np.int64)
+        return batch
+
+
+def fingerprint(df: pd.DataFrame, window: int = 8) -> pd.DataFrame:
+    """Winnowing-style rolling-hash document fingerprint: min blake2b-64
+    over character shingles — deterministic, order-independent of batching."""
+    import hashlib
+
+    fps = []
+    for text in df["text"]:
+        t = text.encode("utf-8", "ignore")
+        if len(t) < window:
+            fps.append(int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big"))
+            continue
+        best = None
+        step = max(1, (len(t) - window) // 256)  # bounded work per doc
+        for i in range(0, len(t) - window + 1, step):
+            h = int.from_bytes(
+                hashlib.blake2b(t[i: i + window], digest_size=8).digest(), "big"
+            )
+            if best is None or h < best:
+                best = h
+        fps.append(best)
+    out = df.copy()
+    out["fingerprint"] = np.asarray(fps, dtype=np.uint64)
+    return out

@@ -1,0 +1,128 @@
+"""Reprocessing pipelines over a pages Parquet table — the data-processing
+face of the engine (as opposed to the live crawl loop in crawl.py): given a
+Common-Crawl-style pages table (url, warc_ts, html:binary, text, lang, ...),
+re-extract links and text with the same zero-copy Arrow stages the crawl
+uses. These are the pipelines a pages-corpus consumer runs without ever
+touching the frontier."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from zeno_ray.config import CrawlConfig, make_is_excluded
+from zeno_ray.extract import extract_from_page
+from zeno_ray.urlnorm import canonicalize, host_of
+
+
+def read_pages(corpus_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(corpus_dir, "pages"), columns=columns)
+
+
+class EdgeExtract:
+    """pages rows → (src, dst, kind) edge rows (content-type dispatched,
+    canonicalized, in-page deduped) — the reprocessing twin of the crawl's
+    ExtractStage."""
+
+    def __init__(self, cfg: CrawlConfig | None = None):
+        self.cfg = cfg or CrawlConfig()
+        self.is_excluded = make_is_excluded(self.cfg)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src_out, dst_out, kind_out = [], [], []
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        cts = batch["content_type"].to_pylist()
+        links = batch["link_header"].to_pylist() if "link_header" in batch.schema.names else [None] * len(urls)
+        servers = batch["server"].to_pylist() if "server" in batch.schema.names else [None] * len(urls)
+        for i, url in enumerate(urls):
+            if statuses[i] != 200:
+                continue
+            res = extract_from_page(
+                url, htmls[i] or b"", cts[i], link_header=links[i],
+                server=servers[i], is_excluded=self.is_excluded,
+            )
+            cu = canonicalize(url)
+            for d in res.outlinks:
+                src_out.append(cu)
+                dst_out.append(d)
+                kind_out.append("outlink")
+            for d in res.assets:
+                src_out.append(cu)
+                dst_out.append(d)
+                kind_out.append("asset")
+        return pa.table(
+            {
+                "src": pa.array(src_out, pa.string()),
+                "dst": pa.array(dst_out, pa.string()),
+                "kind": pa.array(kind_out, pa.string()),
+            }
+        )
+
+
+class TextExtract:
+    """pages rows → (url, text) with text re-extracted from the html binary
+    column — the byte-identical-text reprocessing pipeline."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from zeno_ray.extract import extract_text
+
+        urls, texts = [], []
+        statuses = batch["status"].to_pylist()
+        cts = batch["content_type"].to_pylist()
+        for url, html, status, ct in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist(), statuses, cts
+        ):
+            if status == 200 and ct and ct.startswith("text/html"):
+                urls.append(url)
+                texts.append(extract_text(html or b""))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "text": pa.array(texts, pa.string())}
+        )
+
+
+def extract_edges(corpus_dir: str, cfg: CrawlConfig | None = None):
+    """Full-corpus link extraction: read (pruned columns) → parse → edges."""
+    ds = read_pages(
+        corpus_dir,
+        columns=["url", "html", "status", "content_type", "link_header", "server"],
+    )
+    return ds.map_batches(EdgeExtract(cfg), batch_format="pyarrow", batch_size=128)
+
+
+def extract_texts(corpus_dir: str):
+    ds = read_pages(corpus_dir, columns=["url", "html", "status", "content_type"])
+    return ds.map_batches(TextExtract(), batch_format="pyarrow", batch_size=128)
+
+
+def host_stats(corpus_dir: str):
+    """Per-host page counts and byte totals, host derived by vectorized
+    canonical-host extraction; pre-aggregated per batch before the small
+    groupby."""
+    import pandas as pd
+
+    ds = read_pages(corpus_dir, columns=["url", "html"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hosts = [host_of(u) for u in batch["url"].to_pylist()]
+        nbytes = pc.binary_length(batch["html"]).to_pylist()
+        df = pd.DataFrame({"host": hosts, "n_bytes": nbytes})
+        g = df.groupby("host", as_index=False).agg(
+            n_pages=("n_bytes", "size"), n_bytes=("n_bytes", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("host")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("n_bytes", alias_name="n_bytes"))
+    )

@@ -1,0 +1,240 @@
+"""Stateless map_batches stages: extract-and-text, candidate explode/gate.
+
+These are the zero-copy Arrow per-batch transforms between the Fetcher actor
+pool and the frontier shuffle. One HTML parse per page produces BOTH the
+pages-table row (with the byte-identical extracted ``text``) and the raw
+candidate list (as an Arrow ``list<struct>`` column, exploded vectorized in
+the next stage) — no page is parsed twice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from zeno_ray.config import CrawlConfig, make_is_excluded
+from zeno_ray.extract import extract_from_page
+from zeno_ray.extract.m3u8x import is_m3u8_content_type
+from zeno_ray.urlnorm import hash64, host_of, registrable_domain
+
+# outlink candidates become future "seed" items, asset candidates are
+# fetched inline — the only two item types the reference ever creates
+# (cmd/get_url.go:46, assets.go:109)
+PAGES_CAND_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("status", pa.int16()),
+        ("content_type", pa.string()),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("redirect_location", pa.string()),
+        ("hop", pa.int32()),
+        ("type", pa.string()),
+        ("parent_url", pa.string()),
+        ("order", pa.int64()),
+        ("n_retries", pa.int32()),
+        ("candidates", pa.list_(pa.struct(
+            [("url", pa.string()), ("kind", pa.string()), ("pos", pa.int32())]
+        ))),
+    ]
+)
+
+PAGES_COLUMNS = [n for n in PAGES_CAND_SCHEMA.names if n != "candidates"]
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("hash", pa.uint64()),
+        ("hop", pa.int32()),
+        ("type", pa.string()),  # "seed" (outlink) | "asset"
+        ("parent_url", pa.string()),
+        ("seq_order", pa.int64()),
+        ("seq_pos", pa.int32()),
+    ]
+)
+
+
+class ExtractStage:
+    """Fetched records → pages rows + per-page candidate lists.
+
+    Content-type dispatch and tag inventory per capture.go:459-607 /
+    assets.go:182-457; asset-type items are parsed ONLY when they are M3U8
+    playlists (recursive media capture, assets.go:55-65) — other assets are
+    recorded, never parsed, and never yield outlinks (SURVEY.md §2.7.4).
+    """
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+        self.is_excluded = make_is_excluded(cfg)
+        self.disabled = frozenset(cfg.disabled_html_tags)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out = {n: [] for n in PAGES_CAND_SCHEMA.names}
+        cols = {n: batch[n].to_pylist() for n in batch.schema.names}
+        n = batch.num_rows
+        for i in range(n):
+            url = cols["url"][i]
+            status = cols["status"][i]
+            typ = cols["type"][i]
+            ct = cols["content_type"][i] or ""
+            html = cols["html"][i] or b""
+            cands: list[dict] = []
+            text = ""
+            parse = status == 200 and (
+                typ == "seed" or (typ == "asset" and is_m3u8_content_type(ct))
+            )
+            if parse and not cfg.disable_assets_capture and typ == "asset":
+                res = extract_from_page(
+                    url, html, ct, server=cols["server"][i],
+                    is_excluded=self.is_excluded,
+                )
+                cands = [
+                    {"url": u, "kind": "asset", "pos": p}
+                    for p, u in enumerate(res.assets)
+                ]
+            elif parse and typ == "seed":
+                res = extract_from_page(
+                    url, html, ct,
+                    link_header=cols["link_header"][i],
+                    server=cols["server"][i],
+                    disabled_tags=self.disabled,
+                    capture_alternate_pages=cfg.capture_alternate_pages,
+                    is_excluded=self.is_excluded,
+                )
+                text = res.text
+                cands = [
+                    {"url": u, "kind": "outlink", "pos": p}
+                    for p, u in enumerate(res.outlinks)
+                ]
+                if not cfg.disable_assets_capture:
+                    base = len(cands)
+                    cands += [
+                        {"url": u, "kind": "asset", "pos": base + p}
+                        for p, u in enumerate(res.assets)
+                    ]
+            for name in ("url", "host", "status", "content_type", "html",
+                         "lang", "warc_ts", "redirect_location", "hop",
+                         "type", "parent_url", "order", "n_retries"):
+                out[name].append(cols[name][i])
+            out["text"].append(text)
+            out["candidates"].append(cands)
+        return pa.table(
+            {k: pa.array(v, PAGES_CAND_SCHEMA.field(k).type) for k, v in out.items()},
+            schema=PAGES_CAND_SCHEMA,
+        )
+
+
+class CandidateStage:
+    """Explode candidate lists and apply the enqueue gates:
+    - domains-crawl same-registrable-domain re-entry at hop 0
+      (outlinks.go:65-76, 100-164);
+    - hop limit: enqueue only when ``max_hops >= hop+1`` (outlinks.go:77);
+    - assets keep the parent's hop and are never hop-gated
+      (assets.go:139-180).
+    Emits the canonical candidate schema with the deterministic FIFO order
+    key (seq_order = parent fetch order, seq_pos = in-page position)."""
+
+    # hosted-domain carve-out for --domains-crawl (outlinks.go:103-129)
+    HOSTED_DOMAINS = frozenset({
+        "forumactif.com", "canalblog.com", "blogspot.com", "wordpress.com",
+        "tumblr.com", "weebly.com", "jimdo.com", "webnode.com", "yola.com",
+        "strikingly.com", "site123.com", "simplesite.com", "webstarts.com",
+        "webflow.com", "weblium.com", "webself.net", "one.com", "free.fr",
+        "000webhost.com", "hostinger.com", "hostgator.com", "bluehost.com",
+        "godaddy.com", "siteground.com", "ionos.com",
+    })
+
+    def __init__(self, cfg: CrawlConfig):
+        self.cfg = cfg
+
+    def _domains_crawl_pass(self, origin_host: str, outlink_host: str,
+                            origin_hop: int) -> bool:
+        if not self.cfg.domains_crawl or origin_hop != 0:
+            return False
+        od = registrable_domain(origin_host)
+        ld = registrable_domain(outlink_host)
+        if not od or not ld:
+            return False
+        if od in self.HOSTED_DOMAINS:
+            # crawl the subdomain, not the entire hosted domain
+            # (outlinks.go:156-161)
+            return origin_host.partition(":")[0] in outlink_host
+        return od == ld
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        out = {n: [] for n in CANDIDATE_SCHEMA.names}
+        cands_col = batch["candidates"].to_pylist()
+        parent_urls = batch["url"].to_pylist()
+        parent_hosts = batch["host"].to_pylist()
+        hops = batch["hop"].to_pylist()
+        orders = batch["order"].to_pylist()
+        for i, cands in enumerate(cands_col):
+            if not cands:
+                continue
+            p_url, p_host, p_hop, p_order = (
+                parent_urls[i], parent_hosts[i], hops[i], orders[i])
+            for c in cands:
+                u, kind, pos = c["url"], c["kind"], c["pos"]
+                c_host = host_of(u)
+                if kind == "outlink":
+                    if self._domains_crawl_pass(p_host, c_host, p_hop):
+                        hop = 0
+                    elif cfg.max_hops >= p_hop + 1:
+                        hop = p_hop + 1
+                    else:
+                        continue  # hop-limited (outlinks.go:77)
+                    typ = "seed"
+                else:
+                    hop = p_hop
+                    typ = "asset"
+                out["url"].append(u)
+                out["host"].append(c_host)
+                out["hash"].append(hash64(u))
+                out["hop"].append(hop)
+                out["type"].append(typ)
+                out["parent_url"].append(p_url)
+                out["seq_order"].append(p_order)
+                out["seq_pos"].append(pos)
+        return pa.table(
+            {k: pa.array(v, CANDIDATE_SCHEMA.field(k).type) for k, v in out.items()},
+            schema=CANDIDATE_SCHEMA,
+        )
+
+
+def dedupe_candidates_within_epoch(cand_ds, strict: bool = False):
+    """First-wins dedupe of one epoch's candidate set BEFORE the seen-filter
+    actors.
+
+    Default (scalable) mode: a vectorized within-batch dedupe (pandas
+    sort + drop_duplicates over the candidate rows only — urls + small
+    ints, the html never enters this step); residual cross-batch
+    duplicates are resolved atomically by the seen-shard actors, so the
+    surviving URL *set* is always exact, while the surviving row's
+    (parent_url, seq) attribution can vary between runs for the rare URL
+    discovered twice in one epoch. With budget=0 BFS all same-epoch
+    duplicates carry the same hop, so hop assignment stays deterministic.
+
+    ``strict=True``: a full groupby(hash) shuffle choosing the winner by
+    (seq_order, seq_pos, parent_url) — byte-deterministic attribution, used
+    by the ordering-contract tests and exact-resume comparisons; costs one
+    all-to-all exchange plus per-group Python, so keep it off hot paths.
+    """
+    if strict:
+        def first(g):
+            g = g.sort_values(["seq_order", "seq_pos", "parent_url"], kind="stable")
+            return g.iloc[:1]
+
+        return cand_ds.groupby("hash").map_groups(first, batch_format="pandas")
+
+    def batch_dedupe(df):
+        df = df.sort_values(["seq_order", "seq_pos", "parent_url"], kind="stable")
+        return df.drop_duplicates(subset=["hash"], keep="first")
+
+    return cand_ds.map_batches(batch_dedupe, batch_format="pandas",
+                               batch_size=16384)
