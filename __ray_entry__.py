@@ -296,7 +296,13 @@ def _q_embedding_near_dup(sf_dir: str):
 
     _quiet()
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    pdf = embedding_near_dup(emb, threshold=0.9).to_pandas()
+    # threshold 0 ⇒ nearest-neighbor join: every vector reports its closest
+    # other vector (the synthetic embeddings have no true near-dups)
+    pdf = embedding_near_dup(emb, threshold=0.0).to_pandas()
+    if pdf.empty:
+        import pandas as pd
+
+        return pd.DataFrame({"vec_id": [], "dup_of": [], "sim": []})
     return pdf.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -442,7 +448,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE status = 200 AND content_type LIKE 'text/html%' ORDER BY url""",
         "host_stats": f"""
         SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
-               COUNT(*) AS n_pages, SUM(octet_length(html)) AS n_bytes
+               COUNT(*) AS n_pages, CAST(SUM(octet_length(html)) AS BIGINT) AS n_bytes
         FROM {_PAGES} GROUP BY 1 ORDER BY host""",
         "doc_dedup_exact": """
         SELECT doc_id FROM (

@@ -46,10 +46,13 @@ class SeenShard:
         First occurrence within the batch wins (seencheck.go:50-62)."""
         h = hashes.astype(np.uint64, copy=False)
         out = np.zeros(len(h), dtype=bool)
-        maybe = self._bloom_maybe(h)
         s = self._set
-        for i, (hv, m) in enumerate(zip(h.tolist(), maybe)):
-            if m and hv in s:
+        # NOTE: the exact set is the truth — the bloom is a fast-path for
+        # `contains` only. Gating the set lookup on the bloom here would
+        # miss within-batch duplicates (the bloom is refreshed at batch
+        # end), silently double-admitting URLs.
+        for i, hv in enumerate(h.tolist()):
+            if hv in s:
                 continue
             s.add(hv)
             out[i] = True
