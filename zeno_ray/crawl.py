@@ -95,6 +95,18 @@ def _marker(ckpt: str, k: int) -> str:
     return os.path.join(ckpt, f"_SUCCESS_epoch_{k}")
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — no Ray execution, driver-side only."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(dirpath, f)).num_rows
+    return total
+
+
 def _last_complete_epoch(ckpt: str) -> int:
     k = -1
     while os.path.exists(_marker(ckpt, k + 1)):
@@ -147,18 +159,32 @@ def run_crawl(
 
         pq.write_table(table, os.path.join(fdir, "part-seed.parquet"))
 
-    fetcher_kwargs = dict(
-        spec=spec, seen_shards=seen,
-        max_retry=cfg.max_retry, max_redirect=cfg.max_redirect,
-    )
+    # Task-based fetch: the sandbox Fetcher's only state (corpus spec +
+    # actor handles) is tiny, so serialized-instance tasks reuse warm Ray
+    # workers across epochs — no per-epoch actor-pool cold start. A real
+    # HTTP fetcher (connection pools, cookie jars) would flip back to the
+    # actor-pool form: map_batches(Fetcher, fn_constructor_kwargs=...,
+    # concurrency=N).
+    fetcher = Fetcher(spec=spec, seen_shards=seen,
+                      max_retry=cfg.max_retry, max_redirect=cfg.max_redirect)
 
     total_pages = 0
+    frontier_mem = None  # materialized next-frontier carried across epochs
     k = start_epoch
     while k < cfg.max_epochs:
         t0 = time.perf_counter()
         fdir = _epoch_dir(ckpt_dir, "frontier", k)
-        frontier = rd.read_parquet(fdir)
-        n_frontier = frontier.count()
+        if frontier_mem is not None:
+            frontier = frontier_mem
+            n_frontier = frontier.count()  # cheap: materialized
+        else:
+            n_frontier = _parquet_rows(fdir)
+            if n_frontier == 0:
+                break
+            # split the read so the fetch stage has enough input blocks
+            n_blocks = max(2, min(cfg.fetch_concurrency * 4,
+                                  n_frontier // max(1, cfg.fetch_batch_size) + 1))
+            frontier = rd.read_parquet(fdir, override_num_blocks=n_blocks)
         if n_frontier == 0:
             break
 
@@ -171,29 +197,42 @@ def run_crawl(
         # elastic stateless tasks, so stages never deadlock on CPU
         # reservations (guide: size concurrency × num_cpus to the node).
         fetched = fetch_slice.map_batches(
-            Fetcher, fn_constructor_kwargs=fetcher_kwargs,
+            fetcher,
             batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-            concurrency=cfg.fetch_concurrency, num_cpus=0.5,
         )
         pages = fetched.map_batches(
             ExtractStage(cfg),
             batch_format="pyarrow", batch_size=cfg.extract_batch_size,
         ).materialize()
         pdir = _epoch_dir(ckpt_dir, "pages", k)
-        pages.drop_columns(["candidates"]).write_parquet(os.path.join(pdir, "seeds"))
         n_pages = pages.count()
 
-        # ---- candidates: explode → gate → dedupe → seen-filter ----
-        cand = pages.select_columns(["url", "host", "hop", "order", "candidates"]
-                                    ).map_batches(
-            CandidateStage(cfg),
-            batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        )
-        cand = dedupe_candidates_within_epoch(cand, strict=strict_dedupe)
-        new = cand.map_batches(
-            SeenFilterStage(seen),
-            batch_format="pyarrow", batch_size=8192,
-        ).materialize()
+        # ---- pages sink ∥ candidate pipeline (independent consumers of the
+        # materialized pages — run their executions concurrently) ----
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_pages():
+            pages.drop_columns(["candidates"]).write_parquet(
+                os.path.join(pdir, "seeds"))
+
+        def _candidates():
+            cand = pages.select_columns(
+                ["url", "host", "hop", "order", "candidates"]
+            ).map_batches(
+                CandidateStage(cfg),
+                batch_format="pyarrow", batch_size=cfg.extract_batch_size,
+            )
+            cand = dedupe_candidates_within_epoch(cand, strict=strict_dedupe)
+            return cand.map_batches(
+                SeenFilterStage(seen),
+                batch_format="pyarrow", batch_size=32768,
+            ).materialize()
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_write = pool.submit(_write_pages)
+            fut_new = pool.submit(_candidates)
+            new = fut_new.result()
+            fut_write.result()
 
         # ---- assets: inline fetch sub-stages, m3u8 recursion ----
         n_assets = 0
@@ -202,9 +241,8 @@ def run_crawl(
         while assets.count() > 0 and sub < 4:
             aslice = assets.map_batches(_to_fetch_slice, batch_format="pandas")
             afetched = aslice.map_batches(
-                Fetcher, fn_constructor_kwargs=fetcher_kwargs,
+                fetcher,
                 batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-                concurrency=cfg.fetch_concurrency, num_cpus=0.5,
             )
             apages = afetched.map_batches(
                 ExtractStage(cfg),
@@ -233,20 +271,27 @@ def run_crawl(
         if carry is not None:
             next_rows = next_rows.union(carry)
         nfdir = _epoch_dir(ckpt_dir, "frontier", k + 1)
-        next_rows = _cast_frontier(next_rows)
+        next_rows = _cast_frontier(next_rows).materialize()
         next_rows.write_parquet(nfdir)
+        frontier_mem = next_rows
         os.makedirs(nfdir, exist_ok=True)
         if not any(f.endswith(".parquet") for f in os.listdir(nfdir)):
             import pyarrow.parquet as pq
 
             pq.write_table(FRONTIER_SCHEMA.empty_table(),
                            os.path.join(nfdir, "empty.parquet"))
-        n_next = next_rows.count()
+        n_next = _parquet_rows(nfdir)
 
-        # ---- checkpoint state + metrics, commit epoch ----
+        # ---- checkpoint state + metrics, commit epoch (seen dump is
+        # actor-side; overlap it with the lineage write below) ----
         sdir = _epoch_dir(ckpt_dir, "seen", k)
-        checkpoint_seen(seen, sdir)
-        save_hosts(hosts, os.path.join(sdir, "hosts.parquet"))
+        os.makedirs(sdir, exist_ok=True)
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2) as pool:
+            fut_seen = pool.submit(checkpoint_seen, seen, sdir)
+            save_hosts(hosts, os.path.join(sdir, "hosts.parquet"))
+            fut_seen.result()
         m = {
             "epoch": k,
             "frontier_rows": int(n_frontier),
@@ -261,10 +306,9 @@ def run_crawl(
         os.makedirs(mdir, exist_ok=True)
         with open(os.path.join(mdir, "metrics.json"), "w") as f:
             json.dump(m, f)
-        # per-partition lineage: pages per host this epoch
-        rd.read_parquet(os.path.join(pdir)).groupby("host").count().write_parquet(
-            os.path.join(mdir, "lineage")
-        )
+        # per-partition lineage: pages per host this epoch (from the
+        # already-materialized pages, no re-read)
+        pages.groupby("host").count().write_parquet(os.path.join(mdir, "lineage"))
         metrics.append(m)
         total_pages += int(n_pages) + int(n_assets)
         with open(_marker(ckpt_dir, k), "w") as f:

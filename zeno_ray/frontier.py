@@ -83,8 +83,24 @@ def rank_frontier(frontier_ds, budget: int):
 
     fetch_slice rows gain ``order`` (the global deterministic fetch order
     key) and drop the seq columns; carryover keeps the frontier schema.
-    budget == 0 → everything is fetched (pure BFS epoch).
+
+    budget == 0 (pure-BFS throughput mode): everything is fetched, so the
+    per-host rank is unobservable — the groupby(host) shuffle is skipped
+    entirely and the order key degrades to a deterministic per-URL value
+    (hash-derived). Rotation semantics only exist under a budget; the BFS
+    level structure, URL set and hops are identical either way.
     """
+    if budget <= 0:
+
+        def to_fetch_fast(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["url", "host", "hash", "hop", "type", "parent_url"]].copy()
+            # the frontier row already carries hash64(url) — reuse it
+            out["order"] = (
+                df["hash"].to_numpy(np.uint64) & np.uint64((1 << 62) - 1)
+            ).astype(np.int64)
+            return out
+
+        return frontier_ds.map_batches(to_fetch_fast, batch_format="pandas"), None
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["seq_epoch", "seq_order", "seq_pos"], kind="stable")
@@ -94,12 +110,8 @@ def rank_frontier(frontier_ds, budget: int):
     ranked = frontier_ds.groupby("host").map_groups(
         rank_group, batch_format="pandas"
     ).materialize()
-    if budget > 0:
-        fetch = ranked.filter(expr=f"rank < {budget}")
-        carry = ranked.filter(expr=f"rank >= {budget}")
-    else:
-        fetch = ranked
-        carry = None
+    fetch = ranked.filter(expr=f"rank < {budget}")
+    carry = ranked.filter(expr=f"rank >= {budget}")
 
     def to_fetch_slice(df: pd.DataFrame) -> pd.DataFrame:
         order = df["rank"].to_numpy(np.int64) * np.int64(ORDER_RANK_SHIFT) + df[
@@ -110,8 +122,7 @@ def rank_frontier(frontier_ds, budget: int):
         return out
 
     fetch = fetch.map_batches(to_fetch_slice, batch_format="pandas")
-    if carry is not None:
-        carry = carry.drop_columns(["rank"])
+    carry = carry.drop_columns(["rank"])
     return fetch, carry
 
 
