@@ -1,0 +1,197 @@
+"""Benchmark harness (driver contract).
+
+Plain run: executes the headline crawl + a battery of reprocessing /
+training-data pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1
+— mapped to the deterministic synthetic corpus at the same sf) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32), and
+prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "crawl": {...pages, pages_per_sec...}}
+
+``--scaling``: runs the headline crawl twice in FRESH processes
+(num_cpus=8 then 32) on the same pre-built corpus and reports both times
+plus efficiency = T8/(4*T32)... see BASELINE.md. The corpus build and OS
+page cache are warmed before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf() -> float:
+    d = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = os.path.basename(os.path.normpath(d))
+    try:
+        return float(base[2:]) if base.startswith("sf") else 0.1
+    except ValueError:
+        return 0.1
+
+
+def _ncpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf = _sf()
+    ncpus = _ncpus()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.corpus import CorpusSpec, corpus_dir_for_sf, ensure_corpus
+    from zeno_ray.crawl import run_crawl
+
+    spec = CorpusSpec.for_sf(sf)
+    cdir = ensure_corpus(spec, corpus_dir_for_sf(sf))
+
+    # warm the page cache with one untimed pass over the corpus files
+    import pyarrow.parquet as pq
+
+    for dirpath, _d, files in os.walk(cdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                pq.read_metadata(os.path.join(dirpath, f))
+
+    cfg = CrawlConfig(
+        max_hops=6, max_epochs=32, seen_shards=min(16, max(4, ncpus // 2)),
+        fetch_concurrency=max(4, ncpus // 2),
+        fetch_batch_size=1024, extract_batch_size=512,
+    )
+
+    queries: dict[str, float] = {}
+
+    # ---- headline: the crawl (fetch+parse+dedupe+schedule loop) ----
+    t0 = time.perf_counter()
+    res = run_crawl(spec, cfg, f"/tmp/rayzeno_bench/crawl_sf{sf:g}_c{ncpus}")
+    crawl_sec = time.perf_counter() - t0
+    queries["crawl"] = round(crawl_sec, 3)
+
+    # ---- reprocessing pipelines over the corpus ----
+    from zeno_ray.pipelines import extract_edges, extract_texts, host_stats
+
+    t = time.perf_counter()
+    n_edges = extract_edges(cdir).count()
+    queries["extract_edges"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    n_txt = extract_texts(cdir).count()
+    queries["extract_text"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    host_stats(cdir).to_pandas()
+    queries["host_stats"] = round(time.perf_counter() - t, 3)
+
+    # ---- training-data ops over the driver tables ----
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import exact_dedup, minhash_dedup
+    from zeno_ray.ops.ann import brute_force_topk
+    import numpy as np
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    t = time.perf_counter()
+    exact_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    queries["doc_dedup_exact"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    minhash_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+    queries["dedup_minhash"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    pdf = rd.read_parquet(emb_path).to_pandas()
+    q = np.stack(pdf.iloc[:3]["embedding"].to_numpy())
+    brute_force_topk(rd.read_parquet(emb_path), q, k=10)
+    queries["ann_topk"] = round(time.perf_counter() - t, 3)
+
+    from zeno_ray.ops.relational import events_hourly_window, lineitem_agg
+
+    t = time.perf_counter()
+    lineitem_agg(sf_dir)
+    queries["lineitem_agg"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    events_hourly_window(sf_dir)
+    queries["events_hourly"] = round(time.perf_counter() - t, 3)
+
+    total_urls = res.pages_fetched
+    out = {
+        "metric": "rayzeno headline: full synthetic-web crawl wall time "
+                  "(fetch+parse+seencheck+schedule, URLs crawled/sec in crawl.pages_per_sec)",
+        "value": round(crawl_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": ncpus,
+        "crawl": {
+            "pages": total_urls,
+            "epochs": res.epochs,
+            "pages_per_sec": round(total_urls / crawl_sec, 1) if crawl_sec else None,
+            "seen_size": res.seen_size,
+            "edges_extracted": int(n_edges),
+            "texts_extracted": int(n_txt),
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same crawl at 8 and 32 CPUs in fresh processes; report both
+    throughputs + scaling efficiency (N vs 4N evidence protocol)."""
+    # build the corpus once (untimed) so both runs see a warm cache
+    sub = subprocess.run(
+        [sys.executable, "-c",
+         "import ray;ray.init(address='local',num_cpus=8,include_dashboard=False,"
+         "logging_level='ERROR');"
+         "from zeno_ray.corpus import CorpusSpec,ensure_corpus,corpus_dir_for_sf;"
+         f"sf={_sf()};ensure_corpus(CorpusSpec.for_sf(sf),corpus_dir_for_sf(sf));"
+         "ray.shutdown()"],
+        cwd=os.path.dirname(os.path.abspath(__file__)), capture_output=True, text=True)
+    if sub.returncode != 0:
+        print(sub.stderr[-2000:], file=sys.stderr)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, "bench.py"], env=env,
+                           cwd=os.path.dirname(os.path.abspath(__file__)),
+                           capture_output=True, text=True, check=True)
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo = lo["queries"]["crawl"]
+    t_hi = hi["queries"]["crawl"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "sf": _sf(),
+        "crawl_sec_8cpu": t_lo,
+        "crawl_sec_32cpu": t_hi,
+        "pages_per_sec_8cpu": lo["crawl"]["pages_per_sec"],
+        "pages_per_sec_32cpu": hi["crawl"]["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

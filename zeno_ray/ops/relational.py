@@ -19,6 +19,20 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+
+def _finish_pandas(partials_ds, keys: list, sums: dict) -> pd.DataFrame:
+    """Merge per-batch partial aggregates driver-side.
+
+    Partial pre-aggregation bounds the data to (#groups × #blocks) rows, so
+    the final merge is tiny; Ray's sort-based groupby costs ~4ms/group,
+    which loses badly once groups number in the thousands. For genuinely
+    unbounded key spaces (e.g. 10^9 users) swap this for
+    groupby(keys).aggregate(...) — the partial stage stays identical."""
+    pdf = partials_ds.to_pandas()
+    return pdf.groupby(keys, as_index=False).agg(**{
+        col: (col, "sum") for col in sums
+    })
+
 def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped aggregate with per-batch partial aggregation before
     the (tiny) groupby — the combiner pattern from ray_guide 'Aggregation
@@ -40,18 +54,12 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
         )
         return g
 
-    from ray.data.aggregate import Sum
-
     out = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price", alias_name="sum_price"),
-            Sum("revenue", alias_name="revenue"),
-            Sum("n", alias_name="n"),
+        _finish_pandas(
+            ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["l_returnflag", "l_linestatus"],
+            {"sum_qty": 1, "sum_price": 1, "revenue": 1, "n": 1},
         )
-        .to_pandas()
         .sort_values(["l_returnflag", "l_linestatus"])
         .reset_index(drop=True)
     )
@@ -79,16 +87,13 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
                 total_price=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
             return g
 
-    from ray.data.aggregate import Sum
-
     out = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(Join, fn_constructor_kwargs={"ref": cust_ref},
-                     batch_format="pandas", batch_size=65536, concurrency=2)
-        .groupby("c_mktsegment")
-        .aggregate(Sum("total_price", alias_name="total_price"),
-                   Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
+        _finish_pandas(
+            _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            .map_batches(Join, fn_constructor_kwargs={"ref": cust_ref},
+                         batch_format="pandas", batch_size=65536, concurrency=2),
+            ["c_mktsegment"], {"total_price": 1, "n_orders": 1},
+        )
         .sort_values("c_mktsegment")
         .reset_index(drop=True)
     )
@@ -103,16 +108,15 @@ def top_users_by_value(sf_dir: str, k: int = 10) -> pd.DataFrame:
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("user_id", as_index=False).agg(total_value=("value", "sum"))
 
-    from ray.data.aggregate import Sum
-
     out = (
-        _read(sf_dir, "events", columns=["user_id", "value"])
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby("user_id")
-        .aggregate(Sum("total_value", alias_name="total_value"))
-        .sort("total_value", descending=True)
-        .limit(k)
-        .to_pandas()
+        _finish_pandas(
+            _read(sf_dir, "events", columns=["user_id", "value"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["user_id"], {"total_value": 1},
+        )
+        .sort_values("total_value", ascending=False, kind="stable")
+        .head(k)
+        .reset_index(drop=True)
     )
     out["total_value"] = out["total_value"].round(6)
     return out
@@ -130,15 +134,12 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
         return out.groupby(["event_type", "window_start"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
 
-    from ray.data.aggregate import Sum
-
     out = (
-        _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value", alias_name="sum_value"))
-        .to_pandas()
+        _finish_pandas(
+            _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type", "window_start"], {"n_events": 1, "sum_value": 1},
+        )
         .sort_values(["event_type", "window_start"])
         .reset_index(drop=True)
     )
@@ -147,9 +148,30 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
 
 
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """Session windows per user (gap-based): groupby(user) → per-group
-    sorted pandas sessionization — the map_groups streaming-window pattern.
-    Returns per-session rows (user_id, session_start, n_events)."""
+    """Session windows per user (gap-based). Column-pruned distributed read,
+    then fully-vectorized pandas sessionization on the (user_id, ts)
+    projection — two int64 columns, so the driver-side finish is tiny even
+    at bench scale. For event logs too large to project to the driver, use
+    :func:`sessionize_events_distributed` (same semantics, groupby(user)
+    keyed shuffle). Returns (user_id, session_start, n_events)."""
+    pdf = _read(sf_dir, "events", columns=["user_id", "ts"]).to_pandas()
+    pdf = pdf.sort_values(["user_id", "ts"], kind="stable")
+    gaps = pdf.groupby("user_id")["ts"].diff().dt.total_seconds()
+    brk = gaps.isna() | (gaps > gap_minutes * 60)
+    pdf = pdf.assign(sid=brk.cumsum())
+    out = pdf.groupby("sid", as_index=False).agg(
+        user_id=("user_id", "first"), session_start=("ts", "first"),
+        n_events=("ts", "size"))
+    return (
+        out[["user_id", "session_start", "n_events"]]
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+
+def sessionize_events_distributed(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """groupby(user).map_groups sessionization — the keyed-shuffle scale
+    path (one all-to-all on the pruned projection; per-group pandas)."""
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="stable")
