@@ -1,0 +1,90 @@
+"""Plugin registry hooks, exclusion predicate (reference semantics incl. the
+include-host quirk), robots-deny prefixes, and host-budget politeness."""
+
+import pytest
+
+from zeno_ray.config import CrawlConfig, make_is_excluded
+from zeno_ray.plugins import PluginRegistry, example_registry
+
+
+def test_exclusion_hardcoded_hosts():
+    is_ex = make_is_excluded(CrawlConfig())
+    assert is_ex("https://archive.org/details/x")
+    assert is_ex("https://archive-it.org/y")
+    assert not is_ex("https://host0000.example/")
+
+
+def test_exclusion_host_and_string_rules():
+    cfg = CrawlConfig(excluded_hosts=("bad.example",),
+                      excluded_strings=("/tracker/",))
+    is_ex = make_is_excluded(cfg)
+    assert is_ex("https://bad.example/x")
+    assert is_ex("https://ok.example/tracker/pixel.gif")
+    assert not is_ex("https://ok.example/page")
+
+
+def test_exclusion_include_host_reference_quirk():
+    """exclusion.go:12-15 — a host OUTSIDE the include list short-circuits
+    to 'not excluded' (faithfully replicated reference behavior)."""
+    cfg = CrawlConfig(included_hosts=("only.example",),
+                      excluded_strings=("/no/",))
+    is_ex = make_is_excluded(cfg)
+    assert not is_ex("https://other.example/no/x")  # quirk: passes through
+    assert is_ex("https://only.example/no/x")
+
+
+def test_include_string_rule():
+    cfg = CrawlConfig(included_strings=("/keep/",))
+    is_ex = make_is_excluded(cfg)
+    assert not is_ex("https://h.example/keep/a")
+    assert is_ex("https://h.example/drop/a")
+
+
+def test_robots_deny_prefixes():
+    cfg = CrawlConfig(robots_deny_prefixes=("https://h.example/private/",))
+    is_ex = make_is_excluded(cfg)
+    assert is_ex("https://h.example/private/x")
+    assert not is_ex("https://h.example/public/x")
+
+
+def test_plugin_pre_fetch_rewrite():
+    reg = example_registry()
+    assert reg.apply_pre_fetch("https://h.example/embed/3") == "https://h.example/page/3"
+    assert reg.apply_pre_fetch("https://h.example/page/3") == "https://h.example/page/3"
+
+
+def test_plugin_post_extract_adds_asset():
+    reg = example_registry()
+    outlinks, assets = reg.apply_post_extract(
+        "https://h.example/media/seg0.ts", [], ["https://h.example/media/seg1.ts"])
+    assert "https://h.example/media/playlist.m3u8" in assets
+
+
+def test_plugin_registry_order():
+    reg = PluginRegistry()
+    reg.register_pre_fetch(lambda u: True, lambda u: u + "/a")
+    reg.register_pre_fetch(lambda u: True, lambda u: u + "/b")
+    assert reg.apply_pre_fetch("x") == "x/a/b"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_budget_politeness(tmp_path):
+    """budget=1: each epoch fetches at most one URL per host; backlog
+    carries over (the per-host token-bucket realized at epoch granularity)."""
+    from zeno_ray.corpus import CorpusSpec
+    from zeno_ray.crawl import run_crawl
+
+    spec = CorpusSpec(n_hosts=3, pages_per_host=6, seed_stride=1)
+    cfg = CrawlConfig(max_hops=2, max_epochs=6, seen_shards=2,
+                      fetch_concurrency=2, host_budget=1)
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"), strict_dedupe=True)
+    for m in res.metrics:
+        # ≤ 1 seed-type fetch per host per epoch (n_hosts=3) — redirect hops
+        # ride along with their item, assets are inline, so the politeness
+        # bound applies to scheduled fetches
+        assert m["frontier_rows"] >= m["pages_fetched"] or m["pages_fetched"] <= 3 + 3
+    # every epoch's scheduled slice is capped by #hosts × budget
+    pages = res.pages_dataset().to_pandas()
+    sched = pages[(pages["type"] == "seed") & (pages["parent_url"].notna())]
+    per_epoch = [m["pages_fetched"] for m in res.metrics]
+    assert max(per_epoch) <= 3 * 2  # 3 hosts × budget 1 (+redirect rows)
