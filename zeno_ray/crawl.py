@@ -177,6 +177,12 @@ def run_crawl(
         if frontier_mem is not None:
             frontier = frontier_mem
             n_frontier = frontier.count()  # cheap: materialized
+            # the carried frontier inherits few fat blocks from the
+            # candidate pipeline — split so the fetch stage can run wide
+            want_blocks = max(2, min(cfg.fetch_concurrency * 4,
+                                     n_frontier // max(1, cfg.fetch_batch_size) + 1))
+            if n_frontier > cfg.fetch_batch_size * 2:
+                frontier = frontier.repartition(want_blocks)
         else:
             n_frontier = _parquet_rows(fdir)
             if n_frontier == 0:
@@ -189,6 +195,7 @@ def run_crawl(
             break
 
         # ---- rank/budget (the host-keyed scheduling shuffle) ----
+        t_phase = time.perf_counter()
         fetch_slice, carry = rank_frontier(frontier, cfg.host_budget)
 
         # ---- fetch + extract (seed items) ----
@@ -206,6 +213,8 @@ def run_crawl(
         ).materialize()
         pdir = _epoch_dir(ckpt_dir, "pages", k)
         n_pages = pages.count()
+        t_fetch = time.perf_counter() - t_phase
+        t_phase = time.perf_counter()
 
         # ---- pages sink ∥ candidate pipeline (independent consumers of the
         # materialized pages — run their executions concurrently) ----
@@ -233,6 +242,8 @@ def run_crawl(
             fut_new = pool.submit(_candidates)
             new = fut_new.result()
             fut_write.result()
+        t_cand = time.perf_counter() - t_phase
+        t_phase = time.perf_counter()
 
         # ---- assets: inline fetch sub-stages, m3u8 recursion ----
         n_assets = 0
@@ -264,6 +275,9 @@ def run_crawl(
             ).materialize()
             sub += 1
 
+        t_assets = time.perf_counter() - t_phase
+        t_phase = time.perf_counter()
+
         # ---- next frontier: new outlinks ∪ carryover ----
         outlinks = new.filter(expr="type == 'seed'")
         outlinks = assign_host_seq(outlinks, hosts)
@@ -281,6 +295,7 @@ def run_crawl(
             pq.write_table(FRONTIER_SCHEMA.empty_table(),
                            os.path.join(nfdir, "empty.parquet"))
         n_next = _parquet_rows(nfdir)
+        t_frontier = time.perf_counter() - t_phase
 
         # ---- checkpoint state + metrics, commit epoch (seen dump is
         # actor-side; overlap it with the lineage write below) ----
@@ -301,6 +316,10 @@ def run_crawl(
             "seen_size": seen_sizes(seen),
             "hosts": len(hosts),
             "wall_sec": round(time.perf_counter() - t0, 3),
+            "t_fetch_extract": round(t_fetch, 3),
+            "t_candidates": round(t_cand, 3),
+            "t_assets": round(t_assets, 3),
+            "t_frontier": round(t_frontier, 3),
         }
         mdir = _epoch_dir(ckpt_dir, "metrics", k)
         os.makedirs(mdir, exist_ok=True)

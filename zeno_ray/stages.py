@@ -15,7 +15,7 @@ import pyarrow as pa
 from zeno_ray.config import CrawlConfig, make_is_excluded
 from zeno_ray.extract import extract_from_page
 from zeno_ray.extract.m3u8x import is_m3u8_content_type
-from zeno_ray.urlnorm import hash64, host_of, registrable_domain
+from zeno_ray.urlnorm import hash64, hash64_batch, host_of, registrable_domain
 
 # outlink candidates become future "seed" items, asset candidates are
 # fetched inline — the only two item types the reference ever creates
@@ -129,6 +129,20 @@ class ExtractStage:
         )
 
 
+def _host_arrow(urls: pa.Array) -> pa.Array:
+    """Vectorized canonical-host extraction for canonical http(s) URLs
+    (candidates are post-clean_urls, so the shape is guaranteed); falls back
+    to the exact Python host_of for any residual null."""
+    import pyarrow.compute as pc
+
+    extracted = pc.extract_regex(urls, r"^[a-z][a-z0-9+.\-]*://(?P<h>[^/?#]*)")
+    hosts = extracted.field("h") if extracted.null_count == 0 else None
+    if hosts is not None:
+        # strip userinfo if ever present
+        return pc.replace_substring_regex(hosts, r"^[^@]*@", "")
+    return pa.array([host_of(u) for u in urls.to_pylist()], pa.string())
+
+
 class CandidateStage:
     """Explode candidate lists and apply the enqueue gates:
     - domains-crawl same-registrable-domain re-entry at hop 0
@@ -168,43 +182,61 @@ class CandidateStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        out = {n: [] for n in CANDIDATE_SCHEMA.names}
-        cands_col = batch["candidates"].to_pylist()
-        parent_urls = batch["url"].to_pylist()
-        parent_hosts = batch["host"].to_pylist()
-        hops = batch["hop"].to_pylist()
-        orders = batch["order"].to_pylist()
-        for i, cands in enumerate(cands_col):
-            if not cands:
-                continue
-            p_url, p_host, p_hop, p_order = (
-                parent_urls[i], parent_hosts[i], hops[i], orders[i])
-            for c in cands:
-                u, kind, pos = c["url"], c["kind"], c["pos"]
-                c_host = host_of(u)
-                if kind == "outlink":
-                    if self._domains_crawl_pass(p_host, c_host, p_hop):
-                        hop = 0
-                    elif cfg.max_hops >= p_hop + 1:
-                        hop = p_hop + 1
-                    else:
-                        continue  # hop-limited (outlinks.go:77)
-                    typ = "seed"
-                else:
-                    hop = p_hop
-                    typ = "asset"
-                out["url"].append(u)
-                out["host"].append(c_host)
-                out["hash"].append(hash64(u))
-                out["hop"].append(hop)
-                out["type"].append(typ)
-                out["parent_url"].append(p_url)
-                out["seq_order"].append(p_order)
-                out["seq_pos"].append(pos)
-        return pa.table(
-            {k: pa.array(v, CANDIDATE_SCHEMA.field(k).type) for k, v in out.items()},
-            schema=CANDIDATE_SCHEMA,
+        if batch.num_rows == 0:
+            return CANDIDATE_SCHEMA.empty_table()
+        import pyarrow.compute as pc
+
+        # vectorized explode: list<struct> → flat arrays + parent indices
+        cands = batch["candidates"].combine_chunks()
+        if isinstance(cands, pa.ChunkedArray):  # single chunk after combine
+            cands = cands.chunk(0)
+        flat = pc.list_flatten(cands)
+        if len(flat) == 0:
+            return CANDIDATE_SCHEMA.empty_table()
+        parent_idx = pc.list_parent_indices(cands)
+        urls = flat.field("url")
+        kinds = flat.field("kind")
+        poss = flat.field("pos")
+        p_url = batch["url"].take(parent_idx)
+        p_host = batch["host"].take(parent_idx)
+        p_hop = batch["hop"].take(parent_idx)
+        p_order = batch["order"].take(parent_idx)
+
+        is_outlink = pc.equal(kinds, "outlink")
+        hop_next = pc.add(p_hop, 1)
+        if cfg.domains_crawl:
+            # slow path: per-row registrable-domain comparison
+            keep_dc = [
+                self._domains_crawl_pass(ph, host_of(u), h)
+                for u, ph, h in zip(urls.to_pylist(), p_host.to_pylist(),
+                                    p_hop.to_pylist())
+            ]
+            keep_dc = pa.array(keep_dc, pa.bool_())
+        else:
+            keep_dc = pa.array([False] * len(flat), pa.bool_())
+        hop_ok = pc.less_equal(hop_next, cfg.max_hops)
+        keep = pc.if_else(is_outlink, pc.or_(keep_dc, hop_ok),
+                          pa.scalar(True, pa.bool_()))
+        hop = pc.if_else(
+            is_outlink,
+            pc.if_else(keep_dc, pa.scalar(0, p_hop.type), hop_next),
+            p_hop,
         )
+        typ = pc.if_else(is_outlink, pa.scalar("seed"), pa.scalar("asset"))
+
+        t = pa.table(
+            {
+                "url": urls,
+                "host": _host_arrow(urls),  # canonical host, C-speed regex
+                "hash": pa.array(hash64_batch(urls.to_pylist()), pa.uint64()),
+                "hop": pc.cast(hop, pa.int32()),
+                "type": typ,
+                "parent_url": p_url,
+                "seq_order": pc.cast(p_order, pa.int64()),
+                "seq_pos": pc.cast(poss, pa.int32()),
+            }
+        ).filter(keep)
+        return t.cast(CANDIDATE_SCHEMA)
 
 
 def dedupe_candidates_within_epoch(cand_ds, strict: bool = False):
