@@ -88,3 +88,44 @@ def test_host_budget_politeness(tmp_path):
     sched = pages[(pages["type"] == "seed") & (pages["parent_url"].notna())]
     per_epoch = [m["pages_fetched"] for m in res.metrics]
     assert max(per_epoch) <= 3 * 2  # 3 hosts × budget 1 (+redirect rows)
+
+
+def test_parse_robots():
+    from zeno_ray.politeness import parse_robots
+
+    body = """# comment
+User-agent: googlebot
+Disallow: /g-only/
+
+User-agent: *
+Disallow: /media/
+Disallow: /private/
+"""
+    assert parse_robots(body) == ["/media/", "/private/"]
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_enforcement_end_to_end(tmp_path):
+    """With robots_enforce on, hosts whose robots.txt disallows /media/
+    (i % 11 == 7) must have no playlist/segment fetches; the BSP crawl and
+    the sequential simulator agree on the crawled sets."""
+    from zeno_ray.corpus import CorpusSpec
+    from zeno_ray.crawl import run_crawl
+    from zeno_ray.simulator import simulate_crawl
+
+    spec = CorpusSpec(n_hosts=12, pages_per_host=12, seed_stride=2)
+    cfg = CrawlConfig(max_hops=10, max_epochs=24, seen_shards=4,
+                      fetch_concurrency=2, robots_enforce=True)
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"))
+    pages = res.pages_dataset().to_pandas()
+    blocked_host = spec.host(7)  # 7 % 11 == 7 -> /media/ disallowed
+    blocked = pages[pages["url"].str.startswith(f"https://{blocked_host}/media/")]
+    assert blocked.empty
+    open_host = spec.host(1)
+    allowed = pages[pages["url"].str.startswith(f"https://{open_host}/media/")]
+    assert not allowed.empty
+    sim = simulate_crawl(spec, cfg)
+    got_pages = set(pages[(pages["type"] == "seed") & (pages["status"] != 301)]["url"])
+    assert got_pages == set(sim.crawled_pages)
+    assert set(pages[pages["type"] == "asset"]["url"]) == set(sim.crawled_assets)

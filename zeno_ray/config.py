@@ -31,7 +31,10 @@ class CrawlConfig:
     fetch_concurrency: int = 4  # Fetcher actor pool size
     fetch_batch_size: int = 256
     extract_batch_size: int = 128
-    robots_deny_prefixes: tuple = ()  # robots.txt stand-in; default allow-all
+    robots_enforce: bool = False  # fetch+honor per-host /robots.txt (ADDITIVE:
+                                  # the reference has no robots code; default
+                                  # off preserves reference behavior)
+    robots_deny_prefixes: tuple = ()  # static deny list; default allow-all
                                       # (the reference has NO robots code —
                                       # SURVEY.md §2.4; additive, default
                                       # preserves reference behavior)

@@ -68,6 +68,10 @@ _PAGE_RE = re.compile(
     r"^https://(?P<host>host(?P<i>\d{4})\.example)(?P<path>/.*)$"
 )
 
+# bump when generated content changes — ensure_corpus regenerates any
+# cached corpus whose marker records a different version/spec
+CORPUS_VERSION = 2
+
 
 @dataclass(frozen=True)
 class CorpusSpec:
@@ -113,6 +117,7 @@ class CorpusSpec:
             yield f"https://{h}/"
             for j in range(P):
                 yield f"https://{h}/page/{j}"
+            yield f"https://{h}/robots.txt"
             yield f"https://{h}/sitemap.xml"
             yield f"https://{h}/api/data.json"
             yield f"https://{h}/media/playlist.m3u8"
@@ -133,7 +138,7 @@ class CorpusSpec:
     def universe_size(self) -> int:
         H, P = self.n_hosts, self.pages_per_host
         per_host = (
-            1 + P + 1 + 1 + 1 + 3 + self.imgs_per_host + 4 + 1 + 1
+            1 + P + 1 + 1 + 1 + 1 + 3 + self.imgs_per_host + 4 + 1 + 1
             + len([j for j in range(P) if j % 7 == 3])
             + len([j for j in range(P) if j % 13 == 6])
         )
@@ -161,6 +166,8 @@ class CorpusSpec:
             if j is None or j >= P:
                 return self._error(url, 404, ts)
             return self._article(i, j, host, lang, ts)
+        if path == "/robots.txt":
+            return self._robots(i, host, lang, ts)
         if path == "/sitemap.xml":
             return self._sitemap(i, host, lang, ts)
         if path == "/api/data.json":
@@ -291,6 +298,22 @@ class CorpusSpec:
         return PageRecord(
             f"https://{host}/page/{j}", 200, "text/html; charset=utf-8",
             html, text, lang, ts,
+        )
+
+    def robots_disallows(self, i: int) -> list:
+        """Deterministic per-host robots rules: every 11th-ish host
+        disallows its /media/ subtree (observable: playlists+segments
+        skipped when enforcement is on); everyone else allows all."""
+        return ["/media/"] if i % 11 == 7 else []
+
+    def _robots(self, i: int, host: str, lang: str, ts) -> PageRecord:
+        lines = ["User-agent: *"]
+        dis = self.robots_disallows(i)
+        lines += [f"Disallow: {d}" for d in dis] or ["Disallow:"]
+        body = "\n".join(lines) + "\n"
+        return PageRecord(
+            f"https://{host}/robots.txt", 200, "text/plain",
+            body.encode(), "", lang, ts,
         )
 
     def _sitemap(self, i: int, host: str, lang: str, ts) -> PageRecord:
@@ -531,8 +554,16 @@ def ensure_corpus(spec: CorpusSpec, out_dir: str) -> str:
     *out_dir* (idempotent: guarded by a _SUCCESS marker; atomic via
     tmp-dir rename so concurrent callers and killed runs are safe)."""
     marker = os.path.join(out_dir, "_SUCCESS")
+    stamp = f"{spec}|v{CORPUS_VERSION}"
     if os.path.exists(marker):
-        return out_dir
+        try:
+            if open(marker).read().strip() == stamp:
+                return out_dir
+        except OSError:
+            pass
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
@@ -557,7 +588,7 @@ def ensure_corpus(spec: CorpusSpec, out_dir: str) -> str:
         os.path.join(tmp, "seeds.parquet"),
     )
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-        f.write(f"{spec}\n")
+        f.write(stamp)
     try:
         os.rename(tmp, out_dir)
     except OSError:

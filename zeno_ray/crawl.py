@@ -168,6 +168,12 @@ def run_crawl(
     fetcher = Fetcher(spec=spec, seen_shards=seen,
                       max_retry=cfg.max_retry, max_redirect=cfg.max_redirect)
 
+    robots = None
+    if cfg.robots_enforce:
+        from zeno_ray.politeness import RobotsFilterStage, create_robots_actors
+
+        robots = RobotsFilterStage(create_robots_actors(spec, max(2, cfg.seen_shards // 2)))
+
     total_pages = 0
     frontier_mem = None  # materialized next-frontier carried across epochs
     k = start_epoch
@@ -231,6 +237,9 @@ def run_crawl(
                 CandidateStage(cfg),
                 batch_format="pyarrow", batch_size=cfg.extract_batch_size,
             )
+            if robots is not None:
+                cand = cand.map_batches(robots, batch_format="pyarrow",
+                                        batch_size=32768)
             cand = dedupe_candidates_within_epoch(cand, strict=strict_dedupe)
             return cand.map_batches(
                 SeenFilterStage(seen),
@@ -268,6 +277,9 @@ def run_crawl(
                 CandidateStage(cfg),
                 batch_format="pyarrow", batch_size=cfg.extract_batch_size,
             )
+            if robots is not None:
+                acand = acand.map_batches(robots, batch_format="pyarrow",
+                                          batch_size=32768)
             acand = dedupe_candidates_within_epoch(acand, strict=strict_dedupe)
             assets = acand.map_batches(
                 SeenFilterStage(seen),

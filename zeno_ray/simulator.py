@@ -41,13 +41,29 @@ def simulate_crawl(spec: CorpusSpec, cfg: CrawlConfig,
                    seeds: list[str] | None = None) -> SimResult:
     is_excluded = make_is_excluded(cfg)
     res = SimResult()
+    robots_cache: dict[str, tuple] = {}
+
+    def robots_allowed(url: str) -> bool:
+        if not cfg.robots_enforce:
+            return True
+        from zeno_ray.politeness import parse_robots
+
+        h = host_of(url)
+        rules = robots_cache.get(h)
+        if rules is None:
+            rec = spec.lookup(f"https://{h}/robots.txt")
+            rules = tuple(parse_robots(rec.html.decode("utf-8", "replace"))) if rec.status == 200 else ()
+            robots_cache[h] = rules
+        idx = url.find(h)
+        path = url[idx + len(h):] if idx >= 0 else "/"
+        return not any(path.startswith(p) for p in rules)
     # host -> FIFO of (url, hop); OrderedDict preserves first-appearance order
     queues: "OrderedDict[str, deque]" = OrderedDict()
     rotation: list[str] = []  # ordered host list; emptied hosts removed
     rot_idx = 0
 
     def enqueue(url: str, hop: int) -> None:
-        if url in res.seen:
+        if url in res.seen or not robots_allowed(url):
             return
         res.seen.add(url)
         h = host_of(url)
@@ -88,7 +104,7 @@ def simulate_crawl(spec: CorpusSpec, cfg: CrawlConfig,
                                         server=rec.server,
                                         is_excluded=is_excluded)
                 for a in sub.assets:
-                    if a not in res.seen:
+                    if a not in res.seen and robots_allowed(a):
                         res.seen.add(a)
                         fetch(a, hop, as_asset=True)
             return
@@ -107,7 +123,7 @@ def simulate_crawl(spec: CorpusSpec, cfg: CrawlConfig,
                 enqueue(o, hop + 1)
         if not cfg.disable_assets_capture:
             for a in ext.assets:
-                if a not in res.seen:
+                if a not in res.seen and robots_allowed(a):
                     res.seen.add(a)
                     fetch(a, hop, as_asset=True)
 
