@@ -65,14 +65,23 @@ def _crawl(sf_dir: str):
     CrawlResult with pages readable."""
     from zeno_ray.crawl import CrawlResult, run_crawl
 
+    from zeno_ray.corpus import CORPUS_VERSION
+
     spec, cdir, sf = _corpus(sf_dir)
+    cfg = _crawl_cfg()
     ckpt = os.path.join(_CRAWL_ROOT, f"sf{sf:g}")
     done = os.path.join(ckpt, "_CRAWL_DONE")
+    stamp = f"{spec}|v{CORPUS_VERSION}|{cfg}"
     if os.path.exists(done):
-        return CrawlResult(ckpt_dir=ckpt, epochs=0, pages_fetched=0, seen_size=0)
-    res = run_crawl(spec, _crawl_cfg(), ckpt)
+        try:
+            if open(done).read().strip() == stamp:
+                return CrawlResult(ckpt_dir=ckpt, epochs=0, pages_fetched=0,
+                                   seen_size=0)
+        except OSError:
+            pass  # stale/corrupt marker → rerun below
+    res = run_crawl(spec, cfg, ckpt)
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(stamp)
     return res
 
 
