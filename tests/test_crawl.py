@@ -177,7 +177,8 @@ def test_metrics_lineage_written(crawl_result):
     assert crawl_result.epochs > 2
     m = crawl_result.metrics
     assert all("pages_fetched" in row and "wall_sec" in row for row in m)
-    lineage = os.path.join(crawl_result.ckpt_dir, "metrics_epoch_0", "lineage")
+    lineage = os.path.join(crawl_result.ckpt_dir, "metrics_epoch_0",
+                           "lineage.parquet")
     assert rd.read_parquet(lineage).count() > 0
 
 

@@ -70,7 +70,7 @@ _PAGE_RE = re.compile(
 
 # bump when generated content changes — ensure_corpus regenerates any
 # cached corpus whose marker records a different version/spec
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 @dataclass(frozen=True)
@@ -92,8 +92,10 @@ class CorpusSpec:
         if sf <= 0.01:
             return cls(n_hosts=80, pages_per_host=60)
         if sf <= 0.1:
-            return cls(n_hosts=400, pages_per_host=180)
-        return cls(n_hosts=1200, pages_per_host=300)
+            # bench scale: ~2M-row universe so crawl compute dominates the
+            # per-epoch scheduling floor (the scaling-efficiency regime)
+            return cls(n_hosts=2000, pages_per_host=800)
+        return cls(n_hosts=6000, pages_per_host=1000)
 
     def host(self, i: int) -> str:
         return f"host{i:04d}.example"

@@ -1,23 +1,33 @@
 """The crawl loop: epoch-based BSP supersteps over the Parquet frontier.
 
-One epoch (SURVEY.md §7.1):
+One epoch is ONE streaming Ray Data execution (SURVEY.md §7.1):
 
-    frontier_k ──rank/budget (groupby host)──► fetch slice + carryover
-    fetch slice ──Fetcher actor pool──► fetched records (+redirect hops)
-    fetched ──ExtractStage──► pages rows (+candidate lists)   [1 parse/page]
-    pages ──write──► ckpt/pages/epoch=k/…
-    candidates ──explode/gate ► dedupe ► SeenFilter actors──► new URLs
-    new assets ──Fetcher ► Extract (m3u8 recursion) ► write──► asset pages
-    new outlinks ∪ carryover ──► frontier_{k+1}  (Parquet)
-    seen shards + host registry + metrics ──► ckpt, then _SUCCESS marker
+    frontier_k ──rank/budget──► fetch slice (+ carryover)
+      → map_batches(Fetcher)        retries / 429 / redirect chains
+      → map_batches(ExtractStage)   one Arrow parse per page; writes its
+                                    pages Parquet part as a side effect
+                                    (idempotent deterministic filenames) and
+                                    passes ONLY the slim candidate columns on
+                                    — the html bytes never re-enter the
+                                    object store after the parse
+      → explode/gate → [robots] → dedupe → SeenFilter actors
+      → materialize (the epoch's new URLs: outlinks AND assets)
+    new ∪ carryover ──► frontier_{k+1} (in-memory + Parquet)
+    commit (async): seen snapshot, host registry, metrics + per-host
+    lineage, then the epoch's _SUCCESS marker
 
-State advances only at epoch boundaries; every epoch directory is written
-before its ``_SUCCESS`` marker, so resume = "restart from the last epoch
-whose marker exists" and is exact (the WAL+snapshot recovery contract of
-``queue/index/recovery.go:9-60`` re-expressed as idempotent Parquet
-commits). Assets are fetched within the epoch and never enter the frontier
-(assets.go:72-137); redirects are followed inside the Fetcher with
-mid-chain seen-checks (capture.go:120-178).
+Assets travel through the frontier as budget-EXEMPT rows (politeness
+budgets throttle page fetches only — the reference fetches assets outside
+the queue, assets.go:72-137); they are fetched one epoch after discovery,
+which preserves the crawled SET and all seen semantics. Redirects are
+followed inside the Fetcher with mid-chain seen-checks (capture.go:120-178).
+
+Durability: the seen snapshot is captured synchronously at the epoch
+boundary (so it cannot absorb the next epoch's discoveries), but all
+checkpoint WRITES overlap the next epoch's compute; the ``_SUCCESS`` marker
+is written last, so resume = rerun from the last marked epoch, exactly
+(the WAL+snapshot recovery contract of ``queue/index/recovery.go:9-60``
+re-expressed as idempotent Parquet commits).
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ import json
 import os
 import shutil
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -46,7 +57,6 @@ from zeno_ray.frontier import (
 )
 from zeno_ray.seen import (
     SeenFilterStage,
-    checkpoint_seen,
     create_seen_actors,
     restore_seen,
     seen_sizes,
@@ -54,7 +64,6 @@ from zeno_ray.seen import (
 from zeno_ray.stages import (
     CandidateStage,
     ExtractStage,
-    PAGES_COLUMNS,
     dedupe_candidates_within_epoch,
 )
 
@@ -134,12 +143,15 @@ def run_crawl(
         last = _last_complete_epoch(ckpt_dir)
         if last >= 0:
             restore_seen(seen, _epoch_dir(ckpt_dir, "seen", last))
-            hosts = load_hosts(os.path.join(_epoch_dir(ckpt_dir, "seen", last), "hosts.parquet"))
+            hosts = load_hosts(
+                os.path.join(_epoch_dir(ckpt_dir, "seen", last), "hosts.parquet"))
             start_epoch = last + 1
             for k in range(last + 1):
                 mpath = os.path.join(_epoch_dir(ckpt_dir, "metrics", k), "metrics.json")
                 if os.path.exists(mpath):
                     metrics.append(json.load(open(mpath)))
+            # epochs after the marker may have partial dirs — rerun rewrites
+            # them idempotently
     if start_epoch == 0:
         seed_urls = seeds if seeds is not None else spec.seeds()
         table, hosts = seed_frontier(seed_urls)
@@ -172,197 +184,205 @@ def run_crawl(
     if cfg.robots_enforce:
         from zeno_ray.politeness import RobotsFilterStage, create_robots_actors
 
-        robots = RobotsFilterStage(create_robots_actors(spec, max(2, cfg.seen_shards // 2)))
+        robots = RobotsFilterStage(
+            create_robots_actors(spec, max(2, cfg.seen_shards // 2)))
 
-    total_pages = 0
+    committer = ThreadPoolExecutor(max_workers=1)
+    pending = None
+    total_holder = {"pages": 0}
     frontier_mem = None  # materialized next-frontier carried across epochs
     k = start_epoch
-    while k < cfg.max_epochs:
-        t0 = time.perf_counter()
-        fdir = _epoch_dir(ckpt_dir, "frontier", k)
-        if frontier_mem is not None:
-            frontier = frontier_mem
-            n_frontier = frontier.count()  # cheap: materialized
-            # the carried frontier inherits few fat blocks from the
-            # candidate pipeline — split so the fetch stage can run wide
-            want_blocks = max(2, min(cfg.fetch_concurrency * 4,
-                                     n_frontier // max(1, cfg.fetch_batch_size) + 1))
-            if n_frontier > cfg.fetch_batch_size * 2:
-                frontier = frontier.repartition(want_blocks)
-        else:
-            n_frontier = _parquet_rows(fdir)
-            if n_frontier == 0:
-                break
-            # split the read so the fetch stage has enough input blocks
-            n_blocks = max(2, min(cfg.fetch_concurrency * 4,
-                                  n_frontier // max(1, cfg.fetch_batch_size) + 1))
-            frontier = rd.read_parquet(fdir, override_num_blocks=n_blocks)
-        if n_frontier == 0:
-            break
+    try:
+        while k < cfg.max_epochs:
+            t0 = time.perf_counter()
+            fdir = _epoch_dir(ckpt_dir, "frontier", k)
+            if frontier_mem is not None:
+                frontier = frontier_mem
+                n_frontier = frontier.count()  # cheap: materialized
+                if n_frontier == 0:
+                    break
+                # the carried frontier inherits few fat blocks from the
+                # candidate pipeline — split so the fetch stage runs wide
+                want_blocks = max(
+                    2, min(cfg.fetch_concurrency * 4,
+                           n_frontier // max(1, cfg.fetch_batch_size) + 1))
+                if n_frontier > cfg.fetch_batch_size * 2:
+                    frontier = frontier.repartition(want_blocks)
+            else:
+                n_frontier = _parquet_rows(fdir)
+                if n_frontier == 0:
+                    break
+                n_blocks = max(
+                    2, min(cfg.fetch_concurrency * 4,
+                           n_frontier // max(1, cfg.fetch_batch_size) + 1))
+                frontier = rd.read_parquet(fdir, override_num_blocks=n_blocks)
 
-        # ---- rank/budget (the host-keyed scheduling shuffle) ----
-        t_phase = time.perf_counter()
-        fetch_slice, carry = rank_frontier(frontier, cfg.host_budget)
+            # ---- rank/budget (budget throttles page fetches; assets exempt) ----
+            t_phase = time.perf_counter()
+            fetch_slice, carry = rank_frontier(frontier, cfg.host_budget)
 
-        # ---- fetch + extract (seed items) ----
-        # Fetcher is the one actor pool (holds corpus spec + seen handles);
-        # extract/candidate/seen-filter stages are serialized instances ⇒
-        # elastic stateless tasks, so stages never deadlock on CPU
-        # reservations (guide: size concurrency × num_cpus to the node).
-        fetched = fetch_slice.map_batches(
-            fetcher,
-            batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-        )
-        pages = fetched.map_batches(
-            ExtractStage(cfg),
-            batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-        ).materialize()
-        pdir = _epoch_dir(ckpt_dir, "pages", k)
-        n_pages = pages.count()
-        t_fetch = time.perf_counter() - t_phase
-        t_phase = time.perf_counter()
-
-        # ---- pages sink ∥ candidate pipeline (independent consumers of the
-        # materialized pages — run their executions concurrently) ----
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _write_pages():
-            pages.drop_columns(["candidates"]).write_parquet(
-                os.path.join(pdir, "seeds"))
-
-        def _candidates():
-            cand = pages.select_columns(
-                ["url", "host", "hop", "order", "candidates"]
-            ).map_batches(
-                CandidateStage(cfg),
-                batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-            )
+            # ---- the epoch pipeline: ONE streaming execution ----
+            pdir = _epoch_dir(ckpt_dir, "pages", k)
+            os.makedirs(pdir, exist_ok=True)
+            # execution 1: fetch → parse(+pages sink) → explode. The html
+            # leaves the pipeline at the parse stage (side-effect Parquet
+            # part per batch); only slim candidate rows materialize.
+            cand = (
+                fetch_slice.map_batches(
+                    fetcher, batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size)
+                .map_batches(
+                    ExtractStage(cfg, pages_dir=pdir),
+                    batch_format="pyarrow", batch_size=cfg.extract_batch_size)
+                .map_batches(
+                    CandidateStage(cfg),
+                    batch_format="pyarrow", batch_size=cfg.extract_batch_size)
+            ).materialize()
+            # execution 2: dedupe + robots + seen-filter over the slim rows
+            # in fat batches, so actor RPC rounds stay off the parse path.
+            cand2 = cand
             if robots is not None:
-                cand = cand.map_batches(robots, batch_format="pyarrow",
-                                        batch_size=32768)
-            cand = dedupe_candidates_within_epoch(cand, strict=strict_dedupe)
-            return cand.map_batches(
+                cand2 = cand2.map_batches(robots, batch_format="pyarrow",
+                                          batch_size=32768)
+            cand2 = dedupe_candidates_within_epoch(cand2, strict=strict_dedupe)
+            new = cand2.map_batches(
                 SeenFilterStage(seen),
                 batch_format="pyarrow", batch_size=32768,
-            ).materialize()
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_write = pool.submit(_write_pages)
-            fut_new = pool.submit(_candidates)
-            new = fut_new.result()
-            fut_write.result()
-        t_cand = time.perf_counter() - t_phase
-        t_phase = time.perf_counter()
-
-        # ---- assets: inline fetch sub-stages, m3u8 recursion ----
-        n_assets = 0
-        assets = new.filter(expr="type == 'asset'")
-        sub = 0
-        while assets.count() > 0 and sub < 4:
-            aslice = assets.map_batches(_to_fetch_slice, batch_format="pandas")
-            afetched = aslice.map_batches(
-                fetcher,
-                batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
             )
-            apages = afetched.map_batches(
-                ExtractStage(cfg),
-                batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-            ).materialize()
-            apages.drop_columns(["candidates"]).write_parquet(
-                os.path.join(pdir, f"assets_{sub}")
+            t_pipeline = time.perf_counter() - t_phase
+            t_phase = time.perf_counter()
+
+            # ---- next frontier: outlinks AND assets enqueue ----
+            if cfg.host_budget <= 0:
+                # pure-BFS throughput mode: rotation order is unobservable,
+                # so skip the host-registry aggregate entirely and build the
+                # frontier INSIDE the seen-filter execution (host_seq=0;
+                # budget-mode resume expects budget-mode checkpoints)
+                next_rows = candidates_to_frontier_rows(
+                    new.map_batches(_attach_zero_host_seq,
+                                    batch_format="pandas"),
+                    epoch=k,
+                )
+                next_rows = _cast_frontier(next_rows).materialize()
+            else:
+                new = new.materialize()
+                nxt = assign_host_seq(new, hosts)
+                next_rows = candidates_to_frontier_rows(nxt, epoch=k)
+                if carry is not None:
+                    next_rows = next_rows.union(carry)
+                next_rows = _cast_frontier(next_rows).materialize()
+            frontier_mem = next_rows
+            n_next = next_rows.count()
+            t_frontier = time.perf_counter() - t_phase
+
+            # ---- synchronous state snapshot (cheap), async durable commit ----
+            seen_dumps = ray.get([s.dump.remote() for s in seen])
+            seen_total = int(sum(len(d) for d in seen_dumps))
+            fast_mode = cfg.host_budget <= 0
+            hosts_snapshot = hosts if fast_mode else dict(hosts)
+            m = {
+                "epoch": k,
+                "frontier_rows": int(n_frontier),
+                "next_frontier_rows": int(n_next),
+                "seen_size": seen_total,
+                "hosts": len(hosts_snapshot),
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "t_pipeline": round(t_pipeline, 3),
+                "t_frontier": round(t_frontier, 3),
+            }
+            if pending is not None:
+                pending.result()  # commits are ordered: k-1 before k
+            pending = committer.submit(
+                _commit_epoch, ckpt_dir, k, next_rows, seen_dumps,
+                hosts_snapshot, m, metrics, total_holder, fast_mode,
             )
-            n_assets += apages.count()
-            acand = apages.select_columns(["url", "host", "hop", "order", "candidates"]
-                                          ).map_batches(
-                CandidateStage(cfg),
-                batch_format="pyarrow", batch_size=cfg.extract_batch_size,
-            )
-            if robots is not None:
-                acand = acand.map_batches(robots, batch_format="pyarrow",
-                                          batch_size=32768)
-            acand = dedupe_candidates_within_epoch(acand, strict=strict_dedupe)
-            assets = acand.map_batches(
-                SeenFilterStage(seen),
-                batch_format="pyarrow", batch_size=8192,
-            ).materialize()
-            sub += 1
-
-        t_assets = time.perf_counter() - t_phase
-        t_phase = time.perf_counter()
-
-        # ---- next frontier: new outlinks ∪ carryover ----
-        outlinks = new.filter(expr="type == 'seed'")
-        outlinks = assign_host_seq(outlinks, hosts)
-        next_rows = candidates_to_frontier_rows(outlinks, epoch=k)
-        if carry is not None:
-            next_rows = next_rows.union(carry)
-        nfdir = _epoch_dir(ckpt_dir, "frontier", k + 1)
-        next_rows = _cast_frontier(next_rows).materialize()
-        next_rows.write_parquet(nfdir)
-        frontier_mem = next_rows
-        os.makedirs(nfdir, exist_ok=True)
-        if not any(f.endswith(".parquet") for f in os.listdir(nfdir)):
-            import pyarrow.parquet as pq
-
-            pq.write_table(FRONTIER_SCHEMA.empty_table(),
-                           os.path.join(nfdir, "empty.parquet"))
-        n_next = _parquet_rows(nfdir)
-        t_frontier = time.perf_counter() - t_phase
-
-        # ---- checkpoint state + metrics, commit epoch (seen dump is
-        # actor-side; overlap it with the lineage write below) ----
-        sdir = _epoch_dir(ckpt_dir, "seen", k)
-        os.makedirs(sdir, exist_ok=True)
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        with _TPE(max_workers=2) as pool:
-            fut_seen = pool.submit(checkpoint_seen, seen, sdir)
-            save_hosts(hosts, os.path.join(sdir, "hosts.parquet"))
-            fut_seen.result()
-        m = {
-            "epoch": k,
-            "frontier_rows": int(n_frontier),
-            "pages_fetched": int(n_pages),
-            "assets_fetched": int(n_assets),
-            "next_frontier_rows": int(n_next),
-            "seen_size": seen_sizes(seen),
-            "hosts": len(hosts),
-            "wall_sec": round(time.perf_counter() - t0, 3),
-            "t_fetch_extract": round(t_fetch, 3),
-            "t_candidates": round(t_cand, 3),
-            "t_assets": round(t_assets, 3),
-            "t_frontier": round(t_frontier, 3),
-        }
-        mdir = _epoch_dir(ckpt_dir, "metrics", k)
-        os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, "metrics.json"), "w") as f:
-            json.dump(m, f)
-        # per-partition lineage: pages per host this epoch (from the
-        # already-materialized pages, no re-read)
-        pages.groupby("host").count().write_parquet(os.path.join(mdir, "lineage"))
-        metrics.append(m)
-        total_pages += int(n_pages) + int(n_assets)
-        with open(_marker(ckpt_dir, k), "w") as f:
-            f.write("ok")
-        k += 1
+            k += 1
+        if pending is not None:
+            pending.result()
+            pending = None
+    finally:
+        if pending is not None:
+            pending.result()
+        committer.shutdown(wait=True)
 
     return CrawlResult(
         ckpt_dir=ckpt_dir,
         epochs=k - start_epoch,
-        pages_fetched=total_pages,
+        pages_fetched=total_holder["pages"],
         seen_size=seen_sizes(seen),
         metrics=metrics,
     )
 
 
-def _to_fetch_slice(df):
-    """Asset candidates → Fetcher input schema (order = seq_order with the
-    in-page position as tiebreak folded in; see stages.py docstring)."""
-    import numpy as np
+def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
+                  metrics, total_holder, fast_mode=False):
+    """Durable epoch commit (runs on the committer thread, overlapped with
+    epoch k+1's compute): frontier parquet, seen shards, host registry,
+    metrics + per-host lineage, then the _SUCCESS marker."""
+    import pandas as pd
+    import pyarrow.parquet as pq
 
-    out = df[["url", "host", "hash", "hop", "type", "parent_url"]].copy()
-    out["order"] = df["seq_order"].to_numpy(np.int64)
-    return out
+    nfdir = _epoch_dir(ckpt_dir, "frontier", k + 1)
+    next_rows.write_parquet(nfdir)
+    os.makedirs(nfdir, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(nfdir)):
+        pq.write_table(FRONTIER_SCHEMA.empty_table(),
+                       os.path.join(nfdir, "empty.parquet"))
+
+    sdir = _epoch_dir(ckpt_dir, "seen", k)
+    os.makedirs(sdir, exist_ok=True)
+    for i, arr in enumerate(seen_dumps):
+        import numpy as np
+
+        pq.write_table(pa.table({"hash": pa.array(np.sort(arr), pa.uint64())}),
+                       os.path.join(sdir, f"shard={i}.parquet"))
+
+    # pages/asset counts + per-host lineage from this epoch's pages parts
+    pdir = _epoch_dir(ckpt_dir, "pages", k)
+    frames = []
+    for dirpath, _d, files in os.walk(pdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                frames.append(pq.read_table(os.path.join(dirpath, f),
+                                            columns=["host", "type"]).to_pandas())
+    if frames:
+        pages_meta = pd.concat(frames, ignore_index=True)
+    else:
+        pages_meta = pd.DataFrame({"host": [], "type": []})
+    if fast_mode and len(pages_meta):
+        # fast mode skips the per-epoch host-registry aggregate; derive the
+        # registry (metrics/checkpoint only) from the fetched hosts here —
+        # commits are sequential, so this is the dict's only writer
+        for h in sorted(set(pages_meta["host"])):
+            if h not in hosts_snapshot:
+                hosts_snapshot[h] = len(hosts_snapshot)
+    n_pages = int((pages_meta["type"] == "seed").sum())
+    n_assets = int((pages_meta["type"] == "asset").sum())
+    m["pages_fetched"] = n_pages
+    m["assets_fetched"] = n_assets
+    m["hosts"] = len(hosts_snapshot)
+
+    save_hosts(dict(hosts_snapshot), os.path.join(sdir, "hosts.parquet"))
+
+    mdir = _epoch_dir(ckpt_dir, "metrics", k)
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "metrics.json"), "w") as f:
+        json.dump(m, f)
+    lineage = pages_meta.groupby(["host", "type"], as_index=False).size()
+    lineage = lineage.rename(columns={"size": "n_fetched"})
+    pq.write_table(pa.Table.from_pandas(lineage, preserve_index=False),
+                   os.path.join(mdir, "lineage.parquet"))
+
+    metrics.append(m)
+    total_holder["pages"] += n_pages + n_assets
+    with open(_marker(ckpt_dir, k), "w") as f:
+        f.write("ok")
+
+
+def _attach_zero_host_seq(df):
+    df = df.copy()
+    df["host_seq"] = 0
+    return df
 
 
 def _cast_frontier(ds):

@@ -104,7 +104,13 @@ def rank_frontier(frontier_ds, budget: int):
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["seq_epoch", "seq_order", "seq_pos"], kind="stable")
-        g = g.assign(rank=np.arange(len(g), dtype=np.int64))
+        # assets are budget-EXEMPT (rank -1): the reference fetches assets
+        # outside the queue (assets.go:72-137), so politeness budgets
+        # throttle page fetches only
+        is_seed = (g["type"] == "seed").to_numpy()
+        rank = np.full(len(g), -1, dtype=np.int64)
+        rank[is_seed] = np.arange(int(is_seed.sum()), dtype=np.int64)
+        g = g.assign(rank=rank)
         return g
 
     ranked = frontier_ds.groupby("host").map_groups(
@@ -114,9 +120,9 @@ def rank_frontier(frontier_ds, budget: int):
     carry = ranked.filter(expr=f"rank >= {budget}")
 
     def to_fetch_slice(df: pd.DataFrame) -> pd.DataFrame:
-        order = df["rank"].to_numpy(np.int64) * np.int64(ORDER_RANK_SHIFT) + df[
-            "host_seq"
-        ].to_numpy(np.int64)
+        order = np.maximum(df["rank"].to_numpy(np.int64), 0) * np.int64(
+            ORDER_RANK_SHIFT
+        ) + df["host_seq"].to_numpy(np.int64)
         out = df[["url", "host", "hash", "hop", "type", "parent_url"]].copy()
         out["order"] = order
         return out

@@ -9,6 +9,8 @@ the next stage) — no page is parsed twice.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -67,8 +69,9 @@ class ExtractStage:
     recorded, never parsed, and never yield outlinks (SURVEY.md §2.7.4).
     """
 
-    def __init__(self, cfg: CrawlConfig):
+    def __init__(self, cfg: CrawlConfig, pages_dir: str | None = None):
         self.cfg = cfg
+        self.pages_dir = pages_dir
         self.is_excluded = make_is_excluded(cfg)
         self.disabled = frozenset(cfg.disabled_html_tags)
 
@@ -123,10 +126,31 @@ class ExtractStage:
                 out[name].append(cols[name][i])
             out["text"].append(text)
             out["candidates"].append(cands)
-        return pa.table(
+        table = pa.table(
             {k: pa.array(v, PAGES_CAND_SCHEMA.field(k).type) for k, v in out.items()},
             schema=PAGES_CAND_SCHEMA,
         )
+        if self.pages_dir is None:
+            return table
+        # sink mode: write this batch's pages part here (side-effect sink —
+        # the html bytes never re-enter the object store) and pass only the
+        # slim candidate columns downstream. Filenames are deterministic in
+        # the batch content, so a retried task overwrites its own part
+        # (idempotent), and a resumed epoch rewrites the same files.
+        import hashlib
+
+        if table.num_rows:
+            key = hashlib.blake2b(
+                f"{out['url'][0]}|{out['url'][-1]}|{table.num_rows}|"
+                f"{min(out['order'])}".encode(), digest_size=12
+            ).hexdigest()
+            import pyarrow.parquet as pq
+
+            tmp = os.path.join(self.pages_dir, f".part-{key}.tmp")
+            final = os.path.join(self.pages_dir, f"part-{key}.parquet")
+            pq.write_table(table.drop_columns(["candidates"]), tmp)
+            os.replace(tmp, final)
+        return table.select(["url", "host", "hop", "order", "candidates"])
 
 
 def _host_arrow(urls: pa.Array) -> pa.Array:
