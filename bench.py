@@ -160,7 +160,7 @@ def run_scaling() -> dict:
     # build the corpus once (untimed) so both runs see a warm cache
     sub = subprocess.run(
         [sys.executable, "-c",
-         "import ray;ray.init(address='local',num_cpus=8,include_dashboard=False,"
+         "import ray;ray.init(address='local',num_cpus=32,include_dashboard=False,"
          "logging_level='ERROR');"
          "from zeno_ray.corpus import CorpusSpec,ensure_corpus,corpus_dir_for_sf;"
          f"sf={_sf()};ensure_corpus(CorpusSpec.for_sf(sf),corpus_dir_for_sf(sf));"

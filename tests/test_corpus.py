@@ -16,7 +16,9 @@ from zeno_ray.corpus import CorpusSpec, ensure_corpus
 from zeno_ray.extract import extract_from_page
 from zeno_ray.urlnorm import canonicalize
 
-SPEC = CorpusSpec(n_hosts=6, pages_per_host=12)
+# 12 hosts covers the special-host variants: an S3-listing host
+# (i % 29 == 11) and a robots-restricted host (i % 11 == 7)
+SPEC = CorpusSpec(n_hosts=12, pages_per_host=12)
 
 
 def _extract(spec, url):
@@ -82,7 +84,7 @@ def test_seeds_are_canonical_roots():
     seeds = SPEC.seeds()
     assert seeds[0] == "https://host0000.example/"
     assert all(canonicalize(s) == s for s in seeds)
-    assert len(seeds) == 2  # 6 hosts, stride 4 -> hosts 0 and 4
+    assert len(seeds) == 3  # 12 hosts, stride 4 -> hosts 0, 4, 8
 
 
 def test_universe_size_matches_iterator():

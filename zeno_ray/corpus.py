@@ -70,7 +70,7 @@ _PAGE_RE = re.compile(
 
 # bump when generated content changes — ensure_corpus regenerates any
 # cached corpus whose marker records a different version/spec
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 @dataclass(frozen=True)
@@ -131,6 +131,10 @@ class CorpusSpec:
                 yield f"https://{h}/img/og{k}.png"
             yield f"https://{h}/js/app.js"
             yield f"https://{h}/static/main.css"
+            if i % 29 == 11:
+                yield f"https://{h}/s3/?prefix=data"  # S3 bucket listing
+                for k in range(2):
+                    yield f"https://{h}/s3/data/file{k}.bin"
             for j in range(P):
                 if j % 7 == 3:
                     yield f"https://{h}/r/{j}"  # 301 alias
@@ -144,7 +148,8 @@ class CorpusSpec:
             + len([j for j in range(P) if j % 7 == 3])
             + len([j for j in range(P) if j % 13 == 6])
         )
-        return H * per_host
+        n_s3_hosts = len([i for i in range(H) if i % 29 == 11])
+        return H * per_host + n_s3_hosts * 3
 
     # ------------------------------------------------------------ lookup
     def lookup(self, url: str) -> PageRecord:
@@ -168,6 +173,8 @@ class CorpusSpec:
             if j is None or j >= P:
                 return self._error(url, 404, ts)
             return self._article(i, j, host, lang, ts)
+        if path.startswith("/s3/"):
+            return self._s3(i, host, path, lang, ts)
         if path == "/robots.txt":
             return self._robots(i, host, lang, ts)
         if path == "/sitemap.xml":
@@ -238,6 +245,8 @@ class CorpusSpec:
     def _root_page(self, i: int, host: str, lang: str, ts) -> PageRecord:
         P = self.pages_per_host
         links = [f"/page/{j}" for j in range(min(P, 8))] + ["/sitemap.xml", "/api/data.json"]
+        if self.s3_host(i):
+            links.append("/s3/?prefix=data")
         text_parts = [f"Welcome to {host} — index & archive. ", self._filler(f"https://{host}/", 24)]
         html, text = _compose_html(
             title=f"{host} home",
@@ -318,6 +327,45 @@ class CorpusSpec:
             body.encode(), "", lang, ts,
         )
 
+    def s3_host(self, i: int) -> bool:
+        return i % 29 == 11
+
+    def _s3(self, i: int, host: str, path: str, lang: str, ts) -> PageRecord:
+        """S3 bucket-listing pages with marker pagination + the listed
+        binary objects (exercises extractor/s3.go:44-124 end-to-end)."""
+        if not self.s3_host(i):
+            return self._error(f"https://{host}{path}", 404, ts)
+        url = f"https://{host}{path}"
+        if path.startswith("/s3/data/file") and path.endswith(".bin"):
+            k = _to_int(path[len("/s3/data/file"):-4])
+            if k is None or k >= 2:
+                return self._error(url, 404, ts)
+            return PageRecord(
+                url, 200, "application/octet-stream",
+                self._binary(url, "application/octet-stream", lang, ts, 600).html,
+                "", lang, ts, server="AmazonS3",
+            )
+        if not path.startswith("/s3/?"):
+            return self._error(url, 404, ts)
+        query = path.split("?", 1)[1]
+        if "marker=" in query:
+            # page 2: empty listing terminates the pagination
+            body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                    "<ListBucketResult><Name>bucket</Name>"
+                    "<IsTruncated>false</IsTruncated></ListBucketResult>")
+        else:
+            contents = "".join(
+                f"<Contents><Key>s3/data/file{k}.bin</Key><Size>600</Size></Contents>"
+                for k in range(2)
+            )
+            body = ('<?xml version="1.0" encoding="UTF-8"?>'
+                    f"<ListBucketResult><Name>bucket</Name>{contents}"
+                    "<IsTruncated>false</IsTruncated></ListBucketResult>")
+        return PageRecord(
+            url, 200, "application/xml", body.encode(), "", lang, ts,
+            server="AmazonS3",
+        )
+
     def _sitemap(self, i: int, host: str, lang: str, ts) -> PageRecord:
         n = min(self.pages_per_host, self.sitemap_max)
         locs = "".join(
@@ -381,9 +429,18 @@ class CorpusSpec:
             P = self.pages_per_host
             nxt = self.root((i + 1) % self.n_hosts)
             add([nxt], "outlink")  # Link: header
-            add([f"/page/{j}" for j in range(min(P, 8))] + ["/sitemap.xml", "/api/data.json"],
-                "outlink")
+            root_links = [f"/page/{j}" for j in range(min(P, 8))] + ["/sitemap.xml", "/api/data.json"]
+            if self.s3_host(i):
+                root_links.append("/s3/?prefix=data")
+            add(root_links, "outlink")
             add([f"/img/{0}.png", "/static/main.css", "/js/app.js"], "asset")
+        elif path.startswith("/s3/"):
+            if path.startswith("/s3/?") and "marker=" not in path:
+                from zeno_ray.extract.xmlx import _with_query_param
+
+                add([_with_query_param(url, "marker", "s3/data/file1.bin")]
+                    + [f"https://{host}/s3/data/file{k}.bin" for k in range(2)],
+                    "outlink")
         elif path.startswith("/page/") or path.startswith("/flaky/"):
             j = _to_int(path.rsplit("/", 1)[1])
             links, imgs, text_link = self._article_links(i, j)
