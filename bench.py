@@ -78,10 +78,26 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # ---- headline: the crawl (fetch+parse+dedupe+schedule loop) ----
+    ckpt = f"/tmp/rayzeno_bench/crawl_sf{sf:g}_c{ncpus}"
     t0 = time.perf_counter()
-    res = run_crawl(spec, cfg, f"/tmp/rayzeno_bench/crawl_sf{sf:g}_c{ncpus}")
+    res = run_crawl(spec, cfg, ckpt)
     crawl_sec = time.perf_counter() - t0
     queries["crawl"] = round(crawl_sec, 3)
+    if os.environ.get("RAYZENO_BENCH_CRAWL_ONLY"):
+        out = {
+            "metric": "rayzeno crawl wall time",
+            "value": round(crawl_sec, 3), "unit": "sec",
+            "queries": queries, "sf": sf, "num_cpus": ncpus,
+            "crawl": {"pages": res.pages_fetched, "epochs": res.epochs,
+                       "pages_per_sec": round(res.pages_fetched / crawl_sec, 1)},
+        }
+        import ray as _ray
+
+        _ray.shutdown()
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
+        return out
 
     # ---- reprocessing pipelines over the corpus ----
     from zeno_ray.pipelines import extract_edges, extract_texts, host_stats
@@ -169,14 +185,24 @@ def run_scaling() -> dict:
     if sub.returncode != 0:
         print(sub.stderr[-2000:], file=sys.stderr)
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   RAYZENO_BENCH_CRAWL_ONLY="1")
+        # drain dirty pages from the previous leg so the single sandbox
+        # disk's writeback doesn't bleed into this measurement
+        os.sync()
+        time.sleep(3)
         p = subprocess.run([sys.executable, "bench.py"], env=env,
                            cwd=os.path.dirname(os.path.abspath(__file__)),
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    def best_of(ncpu: int, n: int = 2) -> dict:
+        runs = [run_once(ncpu) for _ in range(n)]
+        return min(runs, key=lambda r: r["queries"]["crawl"])
+
+    hi = best_of(32)
+    lo = best_of(8)
     t_lo = lo["queries"]["crawl"]
     t_hi = hi["queries"]["crawl"]
     eff = (t_lo / t_hi) / (32 / 8)
@@ -187,6 +213,8 @@ def run_scaling() -> dict:
         "pages_per_sec_8cpu": lo["crawl"]["pages_per_sec"],
         "pages_per_sec_32cpu": hi["crawl"]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "protocol": "min of 2 fresh-process runs per level, crawl only, "
+                    "sync+drain between runs, same pre-built corpus",
     }
 
 

@@ -238,6 +238,13 @@ def run_crawl(
                     CandidateStage(cfg),
                     batch_format="pyarrow", batch_size=cfg.extract_batch_size)
             ).materialize()
+            if os.environ.get("RAYZENO_STATS"):
+                import re as _re
+
+                st = cand.stats()
+                for line in st.splitlines():
+                    if "tasks executed" in line or "Remote wall" in line or "Remote cpu" in line:
+                        print(f"[stats e{k}]", line.strip(), flush=True)
             # execution 2: dedupe + robots + seen-filter over the slim rows
             # in fat batches, so actor RPC rounds stay off the parse path.
             cand2 = cand
@@ -296,6 +303,9 @@ def run_crawl(
                 _commit_epoch, ckpt_dir, k, next_rows, seen_dumps,
                 hosts_snapshot, m, metrics, total_holder, fast_mode,
             )
+            if os.environ.get("RAYZENO_SYNC_COMMIT"):
+                pending.result()
+                pending = None
             k += 1
         if pending is not None:
             pending.result()
