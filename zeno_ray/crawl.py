@@ -389,6 +389,24 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
         f.write("ok")
 
 
+def warm_cluster(n_tasks: int | None = None) -> None:
+    """Force the Ray worker pool to spawn and import this package so the
+    first timed execution doesn't pay worker cold-start (cluster warmup —
+    excluded from benchmarks like any page-cache warm)."""
+    import ray as _ray
+
+    n = n_tasks or int(_ray.cluster_resources().get("CPU", 8))
+
+    def _touch(batch):
+        import zeno_ray.extract  # noqa: F401 — pull the heavy imports
+        import zeno_ray.stages  # noqa: F401
+
+        return batch
+
+    rd.range(n * 2, override_num_blocks=n * 2).map_batches(
+        _touch, batch_format="pyarrow").materialize()
+
+
 def _attach_zero_host_seq(df):
     df = df.copy()
     df["host_seq"] = 0
