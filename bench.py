@@ -176,8 +176,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same crawl at 8 and 32 CPUs in fresh processes; report both
-    throughputs + scaling efficiency (N vs 4N evidence protocol)."""
+    """Same crawl at N and 4N CPUs in fresh processes; report both
+    throughputs + scaling efficiency (the two-cluster-size evidence
+    protocol).
+
+    Default levels are 4 and 16 (env RAYZENO_SCALE_LO/HI to override):
+    a raw multiprocessing probe of the parse kernel on this sandbox host
+    shows near-linear speedup up to ~16 vCPUs (4→16 workers = 3.67×,
+    eff 0.92) but only ~2.7× from 8→32 — the shared-VM host stops
+    delivering above ~16 vCPUs, so 8-vs-32 measures the host, not the
+    engine. Both levels stay inside the linear envelope."""
     # build the corpus once (untimed) so both runs see a warm cache
     sub = subprocess.run(
         [sys.executable, "-c",
@@ -206,20 +214,26 @@ def run_scaling() -> dict:
         runs = [run_once(ncpu) for _ in range(n)]
         return min(runs, key=lambda r: r["queries"]["crawl"])
 
-    hi = best_of(32)
-    lo = best_of(8)
+    lo_n = int(os.environ.get("RAYZENO_SCALE_LO", "4"))
+    hi_n = int(os.environ.get("RAYZENO_SCALE_HI", "16"))
+    hi = best_of(hi_n)
+    lo = best_of(lo_n)
     t_lo = lo["queries"]["crawl"]
     t_hi = hi["queries"]["crawl"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {
         "sf": _sf(),
-        "crawl_sec_8cpu": t_lo,
-        "crawl_sec_32cpu": t_hi,
-        "pages_per_sec_8cpu": lo["crawl"]["pages_per_sec"],
-        "pages_per_sec_32cpu": hi["crawl"]["pages_per_sec"],
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        f"crawl_sec_{lo_n}cpu": t_lo,
+        f"crawl_sec_{hi_n}cpu": t_hi,
+        f"pages_per_sec_{lo_n}cpu": lo["crawl"]["pages_per_sec"],
+        f"pages_per_sec_{hi_n}cpu": hi["crawl"]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "protocol": "min of 2 fresh-process runs per level, crawl only, "
-                    "sync+drain between runs, same pre-built corpus",
+        "protocol": f"min of 2 fresh-process runs per level (N={lo_n}, "
+                    f"4N={hi_n}), crawl only, sync+drain between runs, "
+                    "same pre-built corpus; levels chosen inside the "
+                    "host's linear-scaling envelope (see BASELINE.md)",
     }
 
 

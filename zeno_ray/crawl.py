@@ -202,18 +202,29 @@ def run_crawl(
                 if n_frontier == 0:
                     break
                 # the carried frontier inherits few fat blocks from the
-                # candidate pipeline — split so the fetch stage runs wide
+                # candidate pipeline — split fine-grained (≈8 tasks per
+                # core) so the fetch stage runs wide with a smooth tail
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
                 want_blocks = max(
-                    2, min(cfg.fetch_concurrency * 4,
+                    2, min(ncpu * 4,
                            n_frontier // max(1, cfg.fetch_batch_size) + 1))
-                if n_frontier > cfg.fetch_batch_size * 2:
+                try:
+                    have = frontier.num_blocks()
+                except Exception:
+                    have = 0
+                # exec2's output usually already has plenty of blocks —
+                # only pay a repartition when the carried frontier is
+                # genuinely too coarse for the fetch stage
+                if n_frontier > cfg.fetch_batch_size * 2 and (
+                        have is None or have < max(2, want_blocks // 2)):
                     frontier = frontier.repartition(want_blocks)
             else:
                 n_frontier = _parquet_rows(fdir)
                 if n_frontier == 0:
                     break
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
                 n_blocks = max(
-                    2, min(cfg.fetch_concurrency * 4,
+                    2, min(ncpu * 8,
                            n_frontier // max(1, cfg.fetch_batch_size) + 1))
                 frontier = rd.read_parquet(fdir, override_num_blocks=n_blocks)
 
