@@ -210,7 +210,7 @@ def run_scaling() -> dict:
                            capture_output=True, text=True, check=True)
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, n: int = 2) -> dict:
+    def best_of(ncpu: int, n: int = 3) -> dict:
         runs = [run_once(ncpu) for _ in range(n)]
         return min(runs, key=lambda r: r["queries"]["crawl"])
 
@@ -230,7 +230,7 @@ def run_scaling() -> dict:
         f"pages_per_sec_{lo_n}cpu": lo["crawl"]["pages_per_sec"],
         f"pages_per_sec_{hi_n}cpu": hi["crawl"]["pages_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "protocol": f"min of 2 fresh-process runs per level (N={lo_n}, "
+        "protocol": f"min of 3 fresh-process runs per level (N={lo_n}, "
                     f"4N={hi_n}), crawl only, sync+drain between runs, "
                     "same pre-built corpus; levels chosen inside the "
                     "host's linear-scaling envelope (see BASELINE.md)",
