@@ -61,6 +61,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if only and not (only & set(qs)):
+        print(f"no such query: {sorted(only)} (known: {sorted(qs)})")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
