@@ -358,6 +358,37 @@ def _q_events_sessions(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_crawl_budget_order(sf_dir: str):
+    """Politeness-budget mode: a bounded crawl with host_budget=8 and
+    strict (byte-deterministic) candidate dedupe. Returns the fetched
+    (url, hop) set — exercises the groupby(host) rank/budget/carryover
+    shuffle end-to-end. Rows-only (rotation order is the sequential
+    contract, not SQL-expressible)."""
+    import os as _os
+
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.crawl import run_crawl
+    from zeno_ray.corpus import CORPUS_VERSION
+
+    spec, cdir, sf = _corpus(sf_dir)
+    cfg = CrawlConfig(max_hops=3, max_epochs=10, host_budget=8,
+                      seen_shards=8, fetch_concurrency=4)
+    ckpt = _os.path.join(_CRAWL_ROOT, f"budget_sf{sf:g}")
+    done = _os.path.join(ckpt, "_CRAWL_DONE")
+    stamp = f"{spec}|v{CORPUS_VERSION}|{cfg}"
+    if not (_os.path.exists(done) and open(done).read().strip() == stamp):
+        run_crawl(spec, cfg, ckpt, strict_dedupe=True)
+        with open(done, "w") as f:
+            f.write(stamp)
+    from zeno_ray.crawl import CrawlResult
+
+    res = CrawlResult(ckpt_dir=ckpt, epochs=0, pages_fetched=0, seen_size=0)
+    pdf = res.pages_dataset().to_pandas()
+    out = pdf[pdf["type"] == "seed"][["url", "hop"]].copy()
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values(["url", "hop"]).reset_index(drop=True)
+
+
 def _q_mm_decode(sf_dir: str):
     import ray.data as rd
 
@@ -408,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         # multimodal plumbing (deterministic fake decode)
+        "crawl_budget_order": _q_crawl_budget_order,
         "mm_decode": _q_mm_decode,
     }
 
