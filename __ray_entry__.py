@@ -348,6 +348,15 @@ def _q_events_hourly(sf_dir: str):
     return out
 
 
+def _q_events_sliding(sf_dir: str):
+    from zeno_ray.ops.relational import events_sliding_window
+
+    _quiet()
+    out = _round(events_sliding_window(sf_dir), "sum_value", 4)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
 def _q_events_sessions(sf_dir: str):
     from zeno_ray.ops.relational import sessionize_events
 
@@ -437,6 +446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "top_users": _q_top_users,
         "events_hourly": _q_events_hourly,
+        "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         # multimodal plumbing (deterministic fake decode)
         "crawl_budget_order": _q_crawl_budget_order,
@@ -541,6 +551,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""",
+        "events_sliding": """
+        SELECT event_type, window_start, COUNT(*) AS n_events,
+               round(SUM(value), 4) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   date_trunc('hour', ts) + INTERVAL (CASE WHEN minute(ts) >= 30 THEN 30 ELSE 0 END) MINUTE AS w0,
+                   ts
+            FROM events
+        ), LATERAL (VALUES (w0), (w0 - INTERVAL 30 MINUTE)) AS t(window_start)
+        GROUP BY event_type, window_start
+        ORDER BY event_type, window_start""",
         "events_sessions": """
         WITH g AS (
             SELECT user_id, ts,

@@ -147,6 +147,38 @@ def events_hourly_window(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_sliding_window(sf_dir: str, size_minutes: int = 60,
+                          hop_minutes: int = 30) -> pd.DataFrame:
+    """Hopping (sliding) window per event_type: window size 1 h, hop 30 min
+    — every event lands in size/hop windows. Vectorized per batch (one
+    row per (event, window) pair), partial-aggregated, driver-merged."""
+    k = size_minutes // hop_minutes
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        base = df["ts"].dt.floor(f"{hop_minutes}min")
+        for i in range(k):
+            w = base - pd.Timedelta(minutes=hop_minutes * i)
+            frames.append(pd.DataFrame({
+                "event_type": df["event_type"], "window_start": w,
+                "value": df["value"]}))
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+
+    out = (
+        _finish_pandas(
+            _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+            .map_batches(partial, batch_format="pandas", batch_size=65536),
+            ["event_type", "window_start"], {"n_events": 1, "sum_value": 1},
+        )
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Session windows per user (gap-based). Column-pruned distributed read,
     then fully-vectorized pandas sessionization on the (user_id, ts)
