@@ -195,3 +195,42 @@ def test_resume_from_checkpoint_matches_full_run(tmp_path, crawl_result):
     res = resumed.pages_dataset().to_pandas()
     assert set(res["url"]) == set(full["url"])
     assert resumed.seen_size == crawl_result.seen_size
+
+
+def test_hot_host_skew_budget_caps(ray_session):
+    """North-rule skew handling: a host with 100× backlog gets exactly
+    `budget` fetch slots per epoch; the backlog carries over instead of
+    starving other hosts (the hot-host cap of SURVEY.md §4)."""
+    import pyarrow as pa
+
+    from zeno_ray.frontier import FRONTIER_SCHEMA
+    from zeno_ray.urlnorm import hash64
+
+    rows = []
+    seq = 0
+
+    def add(host, n, host_seq):
+        nonlocal seq
+        for i in range(n):
+            url = f"http://{host}/p{i}"
+            rows.append({
+                "url": url, "host": host, "hash": hash64(url), "hop": 0,
+                "type": "seed", "parent_url": "", "seq_epoch": 0,
+                "seq_order": seq, "seq_pos": 0, "host_seq": host_seq,
+            })
+            seq += 1
+
+    add("hot.example", 500, 0)
+    add("cold1.example", 3, 1)
+    add("cold2.example", 3, 2)
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=FRONTIER_SCHEMA))
+    fetch, carry = rank_frontier(ds, budget=2)
+    f = fetch.to_pandas()
+    c = carry.to_pandas()
+    counts = f["host"].value_counts().to_dict()
+    assert counts == {"hot.example": 2, "cold1.example": 2, "cold2.example": 2}
+    carry_counts = c["host"].value_counts().to_dict()
+    assert carry_counts == {"hot.example": 498, "cold1.example": 1, "cold2.example": 1}
+    # FIFO: the two fetched hot rows are the earliest-enqueued ones
+    hot = f[f["host"] == "hot.example"].sort_values("order")
+    assert list(hot["url"]) == ["http://hot.example/p0", "http://hot.example/p1"]
