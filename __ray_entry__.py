@@ -142,6 +142,17 @@ def _q_extract_text(sf_dir: str):
     return extract_texts(cdir).to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def _q_enrich_pages(sf_dir: str):
+    """Rows-only: deterministic per-page enrichment (lang/quality/tokens/
+    fingerprint) over the crawl corpus — the crawl→training-data handoff."""
+    from zeno_ray.pipelines import enrich_pages
+
+    _, cdir, _ = _corpus(sf_dir)
+    pdf = enrich_pages(cdir).to_pandas()
+    pdf["n_tokens_ws"] = pdf["n_tokens_ws"].astype("int64")
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
 def _q_host_stats(sf_dir: str):
     from zeno_ray.pipelines import host_stats
 
@@ -430,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_edges": _q_extract_edges,
         "extract_text": _q_extract_text,
         "host_stats": _q_host_stats,
+        "enrich_pages": _q_enrich_pages,
         # training-data ops (driver tables)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_quality": _q_doc_quality,

@@ -129,3 +129,42 @@ def test_robots_enforcement_end_to_end(tmp_path):
     got_pages = set(pages[(pages["type"] == "seed") & (pages["status"] != 301)]["url"])
     assert got_pages == set(sim.crawled_pages)
     assert set(pages[pages["type"] == "asset"]["url"]) == set(sim.crawled_assets)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_plugins_live_in_crawl(tmp_path):
+    """The plugin registry is wired into the running crawl: a pre-fetch
+    rewrite turns /r/3 requests into direct /page/4 fetches (no 301 row),
+    and a post-extract hook injects an extra asset on every root page."""
+    from zeno_ray.corpus import CorpusSpec
+    from zeno_ray.crawl import run_crawl
+    from zeno_ray.plugins import PluginRegistry
+
+    spec = CorpusSpec(n_hosts=4, pages_per_host=8, seed_stride=1)
+    reg = PluginRegistry()
+    reg.register_pre_fetch(lambda u: "/r/" in u,
+                           lambda u: u.replace("/r/3", "/page/4"))
+
+    def add_og(url, outlinks, assets):
+        extra = url.rstrip("/") + "/img/og3.png" if url.endswith("/") else None
+        host = url.split("/")[2]
+        extra = f"https://{host}/img/og3.png"
+        if extra not in assets:
+            assets = assets + [extra]
+        return outlinks, assets
+
+    reg.register_post_extract(lambda u: u.endswith(".example/"), add_og)
+    cfg = CrawlConfig(max_hops=6, max_epochs=16, seen_shards=2,
+                      fetch_concurrency=2)
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"), plugins=reg)
+    pages = res.pages_dataset().to_pandas()
+    # pre-fetch rewrite: the /r/3 item served /page/4's content directly —
+    # status 200 with a body instead of the organic 301 redirect record
+    r3 = pages[pages["url"].str.contains("/r/3")]
+    assert not r3.empty
+    assert (r3["status"] == 200).all()
+    assert (r3["html"].str.len() > 0).all()
+    # post-extract hook: og3.png fetched for every host even though no
+    # root page references it organically
+    og3 = pages[pages["url"].str.endswith("/img/og3.png")]
+    assert len(og3) == 4

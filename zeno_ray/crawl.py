@@ -130,6 +130,7 @@ def run_crawl(
     seeds: list[str] | None = None,
     resume: bool = False,
     strict_dedupe: bool = False,
+    plugins=None,
 ) -> CrawlResult:
     """Run (or resume) a full crawl; all state under *ckpt_dir*."""
     if not resume and os.path.exists(ckpt_dir):
@@ -178,7 +179,8 @@ def run_crawl(
     # actor-pool form: map_batches(Fetcher, fn_constructor_kwargs=...,
     # concurrency=N).
     fetcher = Fetcher(spec=spec, seen_shards=seen,
-                      max_retry=cfg.max_retry, max_redirect=cfg.max_redirect)
+                      max_retry=cfg.max_retry, max_redirect=cfg.max_redirect,
+                      plugins=plugins)
 
     robots = None
     if cfg.robots_enforce:
@@ -243,7 +245,7 @@ def run_crawl(
                     fetcher, batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size)
                 .map_batches(
-                    ExtractStage(cfg, pages_dir=pdir),
+                    ExtractStage(cfg, pages_dir=pdir, plugins=plugins),
                     batch_format="pyarrow", batch_size=cfg.extract_batch_size)
                 .map_batches(
                     CandidateStage(cfg),

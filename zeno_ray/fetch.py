@@ -51,14 +51,18 @@ class Fetcher:
     batch of fetched records out (one extra row per redirect hop)."""
 
     def __init__(self, spec: CorpusSpec, seen_shards: list, max_retry: int = 5,
-                 max_redirect: int = 20):
+                 max_redirect: int = 20, plugins=None):
         self.spec = spec
         self.seen = seen_shards
         self.max_retry = max_retry
         self.max_redirect = max_redirect
+        self.plugins = plugins  # PluginRegistry | None — pre-fetch URL
+        # rewrites (the capture.go:213-315 hook point)
 
     def _fetch_one(self, url: str):
         """(record, n_retries) after the 429 retry loop (capture.go:58-117)."""
+        if self.plugins is not None:
+            url = self.plugins.apply_pre_fetch(url)
         rec = self.spec.lookup(url)
         retries = 0
         while retries < rec.attempts_needed and retries < self.max_retry:

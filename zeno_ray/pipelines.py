@@ -99,6 +99,60 @@ def extract_texts(corpus_dir: str):
     return ds.map_batches(TextExtract(), batch_format="pyarrow", batch_size=128)
 
 
+class EnrichStage:
+    """pages rows → training-data enrichment columns over the extracted
+    text: predicted language (n-gram/stopword heuristic), quality features,
+    whitespace/BPE-ish token counts, winnowing fingerprint. A callable
+    class ⇒ actor pool (compiled regexes + marker tables once per actor) —
+    the per-page enrichment a training-data pipeline bolts onto the crawl."""
+
+    def __init__(self):
+        from zeno_ray.ops.text import LangIdStage
+
+        self.langid = LangIdStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from zeno_ray.extract import extract_text
+        from zeno_ray.ops.text import TokenCountStage, fingerprint, quality_features
+
+        rows = []
+        for url, html, status, ct in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist(),
+            batch["status"].to_pylist(), batch["content_type"].to_pylist(),
+        ):
+            if status == 200 and ct and ct.startswith("text/html"):
+                rows.append({"url": url, "text": extract_text(html or b"")})
+        if not rows:
+            return pa.table({
+                "url": pa.array([], pa.string()),
+                "pred_lang": pa.array([], pa.string()),
+                "quality": pa.array([], pa.float64()),
+                "n_tokens_ws": pa.array([], pa.int64()),
+                "fingerprint": pa.array([], pa.uint64()),
+            })
+        df = pd.DataFrame(rows)
+        df = self.langid(df)
+        df = quality_features(df)
+        df["doc_id"] = 0  # unused by fingerprint/token stages
+        df = TokenCountStage()(df)
+        df = fingerprint(df)
+        out = df[["url", "pred_lang", "quality", "n_tokens_ws", "fingerprint"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def enrich_pages(corpus_dir: str, concurrency: int = 4):
+    """Crawl-output enrichment pipeline: read pages (pruned columns) →
+    per-page text re-extraction + language/quality/token/fingerprint
+    features, as an actor-pool map_batches stage."""
+    ds = read_pages(corpus_dir, columns=["url", "html", "status", "content_type"])
+    return ds.map_batches(
+        EnrichStage, batch_format="pyarrow", batch_size=256,
+        concurrency=concurrency,
+    )
+
+
 def host_stats(corpus_dir: str):
     """Per-host page counts and byte totals, host derived by vectorized
     canonical-host extraction; pre-aggregated per batch before the small

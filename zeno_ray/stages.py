@@ -69,9 +69,11 @@ class ExtractStage:
     recorded, never parsed, and never yield outlinks (SURVEY.md §2.7.4).
     """
 
-    def __init__(self, cfg: CrawlConfig, pages_dir: str | None = None):
+    def __init__(self, cfg: CrawlConfig, pages_dir: str | None = None,
+                 plugins=None):
         self.cfg = cfg
         self.pages_dir = pages_dir
+        self.plugins = plugins  # PluginRegistry | None — post-extract hooks
         self.is_excluded = make_is_excluded(cfg)
         self.disabled = frozenset(cfg.disabled_html_tags)
 
@@ -110,15 +112,19 @@ class ExtractStage:
                     is_excluded=self.is_excluded,
                 )
                 text = res.text
+                outlinks, assets = res.outlinks, res.assets
+                if self.plugins is not None:
+                    outlinks, assets = self.plugins.apply_post_extract(
+                        url, outlinks, assets)
                 cands = [
                     {"url": u, "kind": "outlink", "pos": p}
-                    for p, u in enumerate(res.outlinks)
+                    for p, u in enumerate(outlinks)
                 ]
                 if not cfg.disable_assets_capture:
                     base = len(cands)
                     cands += [
                         {"url": u, "kind": "asset", "pos": base + p}
-                        for p, u in enumerate(res.assets)
+                        for p, u in enumerate(assets)
                     ]
             for name in ("url", "host", "status", "content_type", "html",
                          "lang", "warc_ts", "redirect_location", "hop",
