@@ -234,3 +234,33 @@ def test_hot_host_skew_budget_caps(ray_session):
     # FIFO: the two fetched hot rows are the earliest-enqueued ones
     hot = f[f["host"] == "hot.example"].sort_values("order")
     assert list(hot["url"]) == ["http://hot.example/p0", "http://hot.example/p1"]
+
+
+def test_resume_after_mid_epoch_crash(tmp_path, crawl_result):
+    """Crash simulation: run 3 epochs, then corrupt the state as a kill
+    mid-epoch-3 would leave it — epoch-3 marker missing, partial epoch-3
+    pages/frontier dirs on disk. Resume must rerun epoch 3 idempotently
+    (deterministic part names overwrite) and converge to the full-run
+    URL set and seen size."""
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt_crash")
+    partial_cfg = CrawlConfig(**{**CFG.__dict__, "max_epochs": 3})
+    run_crawl(SPEC, partial_cfg, ckpt)
+    # simulate dying inside epoch 3 (after epoch 2 committed): epoch-3
+    # artifacts partially written, no marker
+    os.remove(os.path.join(ckpt, "_SUCCESS_epoch_2"))
+    pages3 = os.path.join(ckpt, "pages_epoch_2")
+    parts = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(pages3) for f in fs
+        if f.endswith(".parquet"))
+    for p in parts[::2]:
+        os.remove(p)  # half the parts "never got written"
+    shutil.rmtree(os.path.join(ckpt, "seen_epoch_2"), ignore_errors=True)
+
+    resumed = run_crawl(SPEC, CFG, ckpt, resume=True)
+    full = crawl_result.pages_dataset().to_pandas()
+    res = resumed.pages_dataset().to_pandas()
+    assert set(res["url"]) == set(full["url"])
+    assert res["url"].duplicated().sum() == 0
+    assert resumed.seen_size == crawl_result.seen_size
