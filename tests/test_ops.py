@@ -213,3 +213,14 @@ def test_relational_ops_smoke():
     a = sessionize_events(sf)
     b = sessionize_events_distributed(sf)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_near_dup_lsh_finds_planted_pair(emb_ds):
+    from zeno_ray.ops.dedup import embedding_near_dup_lsh
+
+    ds, _ = emb_ds
+    out = embedding_near_dup_lsh(ds, threshold=0.999, n_planes=6).to_pandas()
+    pairs = set(zip(out["vec_id"].astype(int), out["dup_of"].astype(int)))
+    # the planted near-identical pair shares every hyperplane side, so it
+    # must land in one bucket and be reported both ways
+    assert (10, 50) in pairs and (50, 10) in pairs

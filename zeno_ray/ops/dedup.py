@@ -266,3 +266,47 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
         NearDup, fn_constructor_kwargs={"ref": mat_ref, "thr": threshold},
         batch_format="pandas", batch_size=512, concurrency=4,
     )
+
+
+def embedding_near_dup_lsh(emb_ds, threshold: float = 0.95, n_planes: int = 8,
+                           seed: int = 11):
+    """Scale path for embedding near-dup: random-hyperplane LSH buckets
+    (groupby(bucket) keyed shuffle) → pairwise cosine only WITHIN a bucket.
+    No broadcast of the full matrix — per-group work is O(bucket²), and at
+    10^9 rows the bucket count grows with n_planes to keep groups small.
+    Near-dups (cosine ≥ threshold) land in the same bucket with prob
+    ≈ (1 - θ/π)^n_planes; raise recall with multi-probe or a second
+    plane-set pass. Returns (vec_id, dup_of, sim) pairs, both directions."""
+    import pandas as pd
+
+    from zeno_ray.ops.ann import _LshBucket, _normalize
+    import ray as _ray
+
+    rng = np.random.RandomState(seed)
+    # peek at dimension from one row
+    first = emb_ds.take(1)[0]["embedding"]
+    planes = rng.normal(size=(n_planes, len(first)))
+    planes_ref = _ray.put(planes)
+
+    bucketed = emb_ds.map_batches(
+        _LshBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pandas", batch_size=4096, concurrency=4,
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_id": [], "dup_of": [], "sim": []})
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ mat.T
+        ids = g["vec_id"].to_numpy()
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "vec_id": np.concatenate([ids[ii], ids[jj]]),
+            "dup_of": np.concatenate([ids[jj], ids[ii]]),
+            "sim": np.round(np.concatenate([sims[ii, jj], sims[ii, jj]]), 6),
+        })
+
+    return (
+        bucketed.groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
