@@ -264,3 +264,49 @@ def test_resume_after_mid_epoch_crash(tmp_path, crawl_result):
     assert set(res["url"]) == set(full["url"])
     assert res["url"].duplicated().sum() == 0
     assert resumed.seen_size == crawl_result.seen_size
+
+
+def test_double_crash_resume_no_duplicate_fetches(tmp_path, crawl_result):
+    """Crash → resume → crash again → resume. The first resume re-commits
+    frontier_epoch_{k+1}; since write_parquet APPENDS, a commit that does
+    not replace the crashed attempt's files would leave a doubled frontier
+    that the SECOND resume reads from Parquet (the first resume carries it
+    in memory, masking the bug), fetching every row twice."""
+    ckpt = str(tmp_path / "ckpt_double_crash")
+    partial_cfg = CrawlConfig(**{**CFG.__dict__, "max_epochs": 3})
+    run_crawl(SPEC, partial_cfg, ckpt)
+    # crash #1: died mid-epoch-2 — marker gone, but the crashed attempt had
+    # already written (part of) frontier_epoch_3
+    os.remove(os.path.join(ckpt, "_SUCCESS_epoch_2"))
+    # resume #1 reruns epoch 2 and stops again (crash #2 right after the
+    # epoch-2 commit)
+    run_crawl(SPEC, partial_cfg, ckpt, resume=True)
+    # resume #2 must read a clean frontier_epoch_3 from Parquet
+    resumed = run_crawl(SPEC, CFG, ckpt, resume=True)
+    res = resumed.pages_dataset().to_pandas()
+    full = crawl_result.pages_dataset().to_pandas()
+    assert set(res["url"]) == set(full["url"])
+    assert res["url"].duplicated().sum() == 0
+    assert resumed.seen_size == crawl_result.seen_size
+
+
+def test_robots_disallowed_seed_skipped(tmp_path):
+    """Seeds pass the robots gate like every other enqueue: a seed pointing
+    into a disallowed path is neither fetched nor seen-marked, matching the
+    sequential simulator (which robots-checks all enqueues incl. seeds)."""
+    from zeno_ray.simulator import simulate_crawl
+
+    spec = CorpusSpec(n_hosts=12, pages_per_host=8, seed_stride=2)
+    cfg = CrawlConfig(max_hops=1, max_epochs=4, seen_shards=4,
+                      fetch_concurrency=2, robots_enforce=True)
+    blocked_host = spec.host(7)  # 7 % 11 == 7 -> /media/ disallowed
+    open_host = spec.host(1)
+    seeds = [f"https://{blocked_host}/media/seg1.ts",
+             f"https://{open_host}/page/0"]
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"), seeds=seeds)
+    pages = res.pages_dataset().to_pandas()
+    assert not pages["url"].str.startswith(
+        f"https://{blocked_host}/media/").any()
+    sim = simulate_crawl(spec, cfg, seeds=seeds)
+    got = set(pages[(pages["type"] == "seed") & (pages["status"] != 301)]["url"])
+    assert got == set(sim.crawled_pages)

@@ -123,6 +123,38 @@ def _last_complete_epoch(ckpt: str) -> int:
     return k
 
 
+def _clean_stale_epochs(ckpt: str, last: int) -> None:
+    """Delete partial artifacts from epochs past the last ``_SUCCESS``
+    marker so a resumed run starts from exactly the committed state.
+
+    Epoch k's durable commit writes ``frontier_epoch_{k+1}`` then the
+    ``_SUCCESS_epoch_k`` marker, so ``frontier_epoch_{last+1}`` is complete
+    and everything beyond it (and every pages/seen/metrics dir beyond
+    ``last``) may be a torn write from a crashed attempt. Relying on
+    deterministic part filenames to overwrite stale parts is NOT enough:
+    batch boundaries (and hence part keys) depend on cluster shape, and
+    ``write_parquet`` appends rather than replaces — a re-committed
+    frontier next to a crashed attempt's files would double every row
+    (the WAL-truncate step of ``queue/index/recovery.go:9-60``)."""
+    import re
+
+    pat = re.compile(r"^(pages|seen|metrics|frontier)_epoch_(\d+)$")
+    for name in os.listdir(ckpt):
+        m = pat.match(name)
+        if m:
+            kind, k = m.group(1), int(m.group(2))
+            limit = last + 1 if kind == "frontier" else last
+            if k > limit:
+                shutil.rmtree(os.path.join(ckpt, name), ignore_errors=True)
+        elif name.startswith("_SUCCESS_epoch_"):
+            try:
+                k = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            if k > last:  # orphan marker past a gap — stale by definition
+                os.remove(os.path.join(ckpt, name))
+
+
 def run_crawl(
     spec: CorpusSpec,
     cfg: CrawlConfig,
@@ -142,6 +174,7 @@ def run_crawl(
     start_epoch = 0
     if resume:
         last = _last_complete_epoch(ckpt_dir)
+        _clean_stale_epochs(ckpt_dir, last)
         if last >= 0:
             restore_seen(seen, _epoch_dir(ckpt_dir, "seen", last))
             hosts = load_hosts(
@@ -151,11 +184,21 @@ def run_crawl(
                 mpath = os.path.join(_epoch_dir(ckpt_dir, "metrics", k), "metrics.json")
                 if os.path.exists(mpath):
                     metrics.append(json.load(open(mpath)))
-            # epochs after the marker may have partial dirs — rerun rewrites
-            # them idempotently
+    robots = None
+    if cfg.robots_enforce:
+        from zeno_ray.politeness import RobotsFilterStage, create_robots_actors
+
+        robots = RobotsFilterStage(
+            create_robots_actors(spec, max(2, cfg.seen_shards // 2)))
+
     if start_epoch == 0:
         seed_urls = seeds if seeds is not None else spec.seeds()
         table, hosts = seed_frontier(seed_urls)
+        # seeds pass the robots gate BEFORE the seen-mark, like every other
+        # enqueue (the simulator robots-checks all enqueues incl. seeds;
+        # redirect targets intentionally bypass robots in both engines)
+        if robots is not None and table.num_rows:
+            table = robots(table)
         # seed-load seencheck (crawl.go:218-235)
         import numpy as np
 
@@ -181,13 +224,6 @@ def run_crawl(
     fetcher = Fetcher(spec=spec, seen_shards=seen,
                       max_retry=cfg.max_retry, max_redirect=cfg.max_redirect,
                       plugins=plugins)
-
-    robots = None
-    if cfg.robots_enforce:
-        from zeno_ray.politeness import RobotsFilterStage, create_robots_actors
-
-        robots = RobotsFilterStage(
-            create_robots_actors(spec, max(2, cfg.seen_shards // 2)))
 
     committer = ThreadPoolExecutor(max_workers=1)
     pending = None
@@ -345,12 +381,19 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
     import pandas as pd
     import pyarrow.parquet as pq
 
+    # REPLACE semantics: write_parquet appends (per-run uuid filenames), so
+    # a re-commit after crash→resume must not land next to a crashed
+    # attempt's files — stage into a tmp dir and rename over the target.
     nfdir = _epoch_dir(ckpt_dir, "frontier", k + 1)
-    next_rows.write_parquet(nfdir)
-    os.makedirs(nfdir, exist_ok=True)
-    if not any(f.endswith(".parquet") for f in os.listdir(nfdir)):
+    tmp = nfdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    next_rows.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(tmp)):
         pq.write_table(FRONTIER_SCHEMA.empty_table(),
-                       os.path.join(nfdir, "empty.parquet"))
+                       os.path.join(tmp, "empty.parquet"))
+    shutil.rmtree(nfdir, ignore_errors=True)
+    os.rename(tmp, nfdir)
 
     sdir = _epoch_dir(ckpt_dir, "seen", k)
     os.makedirs(sdir, exist_ok=True)
