@@ -43,20 +43,31 @@ class SeenShard:
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Boolean mask: True where the hash was NEW (and is now inserted).
-        First occurrence within the batch wins (seencheck.go:50-62)."""
+        First occurrence within the batch wins (seencheck.go:50-62).
+
+        Vectorized: ``np.unique(return_index=True)`` collapses within-batch
+        duplicates to their FIRST occurrence (so the bloom can safely
+        fast-path the cross-batch check on the unique values — the old
+        bug class of bloom-gating within-batch dups cannot occur here),
+        then the exact set is consulted only for bloom maybe-hits."""
         h = hashes.astype(np.uint64, copy=False)
-        out = np.zeros(len(h), dtype=bool)
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        uniq, first_idx = np.unique(h, return_index=True)
+        maybe = self._bloom_maybe(uniq)
+        new_mask = ~maybe  # bloom definite-miss ⇒ definitely new
         s = self._set
-        # NOTE: the exact set is the truth — the bloom is a fast-path for
-        # `contains` only. Gating the set lookup on the bloom here would
-        # miss within-batch duplicates (the bloom is refreshed at batch
-        # end), silently double-admitting URLs.
-        for i, hv in enumerate(h.tolist()):
-            if hv in s:
-                continue
-            s.add(hv)
-            out[i] = True
-        self._bloom_add(h[out])
+        idx_maybe = np.nonzero(maybe)[0]
+        if len(idx_maybe):
+            vals = uniq[idx_maybe].tolist()
+            old = np.fromiter((v in s for v in vals), dtype=bool,
+                              count=len(vals))
+            new_mask[idx_maybe[~old]] = True
+        new_vals = uniq[new_mask]
+        s.update(new_vals.tolist())
+        self._bloom_add(new_vals)
+        out = np.zeros(len(h), dtype=bool)
+        out[first_idx[new_mask]] = True
         return out
 
     def add(self, hashes: np.ndarray) -> int:
