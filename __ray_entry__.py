@@ -65,13 +65,14 @@ def _crawl(sf_dir: str):
     CrawlResult with pages readable."""
     from zeno_ray.crawl import CrawlResult, run_crawl
 
+    from zeno_ray import ENGINE_VERSION
     from zeno_ray.corpus import CORPUS_VERSION
 
     spec, cdir, sf = _corpus(sf_dir)
     cfg = _crawl_cfg()
     ckpt = os.path.join(_CRAWL_ROOT, f"sf{sf:g}")
     done = os.path.join(ckpt, "_CRAWL_DONE")
-    stamp = f"{spec}|v{CORPUS_VERSION}|{cfg}"
+    stamp = f"{spec}|v{CORPUS_VERSION}|e{ENGINE_VERSION}|{cfg}"
     if os.path.exists(done):
         try:
             if open(done).read().strip() == stamp:
@@ -100,10 +101,9 @@ def entry() -> Any:
 
 
 def _q_crawl_pages(sf_dir: str):
-    import pandas as pd
-
     res = _crawl(sf_dir)
-    pdf = res.pages_dataset().to_pandas()
+    # column-pruned read: the fat html payload never reaches the driver
+    pdf = res.pages_dataset(columns=["url", "hop", "type"]).to_pandas()
     out = pdf[pdf["type"] == "seed"][["url", "hop"]].copy()
     out["hop"] = out["hop"].astype("int64")
     return out.sort_values("url").reset_index(drop=True)
@@ -111,7 +111,8 @@ def _q_crawl_pages(sf_dir: str):
 
 def _q_crawl_text(sf_dir: str):
     res = _crawl(sf_dir)
-    pdf = res.pages_dataset().to_pandas()
+    pdf = res.pages_dataset(
+        columns=["url", "text", "type", "status", "content_type"]).to_pandas()
     m = (
         (pdf["type"] == "seed")
         & (pdf["status"] == 200)
@@ -122,9 +123,42 @@ def _q_crawl_text(sf_dir: str):
 
 def _q_crawl_assets(sf_dir: str):
     res = _crawl(sf_dir)
-    pdf = res.pages_dataset().to_pandas()
+    pdf = res.pages_dataset(columns=["url", "type"]).to_pandas()
     out = pdf[pdf["type"] == "asset"][["url"]].drop_duplicates()
     return out.sort_values("url").reset_index(drop=True)
+
+
+def _q_crawl_digest_dedup(sf_dir: str):
+    """WARC payload-digest dedup (crawl.go:96-99, SURVEY §2.8 scoped-down
+    form): group the crawled HTML pages by payload digest; per digest keep
+    the first (min) URL and count the revisits. Distributed groupby over
+    the slim (digest, url) projection — html stays on disk."""
+    import pandas as pd
+    from ray.data.aggregate import Min, Sum
+
+    res = _crawl(sf_dir)
+    ds = res.pages_dataset(
+        columns=["url", "payload_digest", "type", "status", "content_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (df["type"] == "seed") & (df["status"] == 200)
+            & df["content_type"].str.startswith("text/html")
+        )
+        return (
+            df[m].groupby("payload_digest", as_index=False)
+            .agg(url=("url", "min"), n_copies=("url", "size"))
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=32768)
+        .groupby("payload_digest")
+        .aggregate(Min("url", alias_name="url"),
+                   Sum("n_copies", alias_name="n_copies"))
+        .to_pandas()
+    )
+    pdf["n_copies"] = pdf["n_copies"].astype("int64")
+    return pdf.sort_values("payload_digest").reset_index(drop=True)
 
 
 def _q_extract_edges(sf_dir: str):
@@ -369,10 +403,12 @@ def _q_events_sliding(sf_dir: str):
 
 
 def _q_events_sessions(sf_dir: str):
-    from zeno_ray.ops.relational import sessionize_events
+    # the keyed-shuffle scale path IS the query path; the driver-side
+    # sessionize_events remains as the small-data verifier
+    from zeno_ray.ops.relational import sessionize_events_distributed
 
     _quiet()
-    out = sessionize_events(sf_dir, gap_minutes=30)
+    out = sessionize_events_distributed(sf_dir, gap_minutes=30)
     out["user_id"] = out["user_id"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out.reset_index(drop=True)
@@ -386,6 +422,7 @@ def _q_crawl_budget_order(sf_dir: str):
     contract, not SQL-expressible)."""
     import os as _os
 
+    from zeno_ray import ENGINE_VERSION
     from zeno_ray.config import CrawlConfig
     from zeno_ray.crawl import run_crawl
     from zeno_ray.corpus import CORPUS_VERSION
@@ -395,7 +432,7 @@ def _q_crawl_budget_order(sf_dir: str):
                       seen_shards=8, fetch_concurrency=4)
     ckpt = _os.path.join(_CRAWL_ROOT, f"budget_sf{sf:g}")
     done = _os.path.join(ckpt, "_CRAWL_DONE")
-    stamp = f"{spec}|v{CORPUS_VERSION}|{cfg}"
+    stamp = f"{spec}|v{CORPUS_VERSION}|e{ENGINE_VERSION}|{cfg}"
     if not (_os.path.exists(done) and open(done).read().strip() == stamp):
         run_crawl(spec, cfg, ckpt, strict_dedupe=True)
         with open(done, "w") as f:
@@ -438,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pages": _q_crawl_pages,
         "crawl_text": _q_crawl_text,
         "crawl_assets": _q_crawl_assets,
+        "crawl_digest_dedup": _q_crawl_digest_dedup,
         "extract_edges": _q_extract_edges,
         "extract_text": _q_extract_text,
         "host_stats": _q_host_stats,
@@ -503,6 +541,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT e.dst AS url
         FROM reach_min r JOIN {_EDGES} e ON e.src = r.url
         WHERE e.kind = 'asset' ORDER BY url""",
+        "crawl_digest_dedup": _REACH_CTE
+        + f"""
+        SELECT sha256(decode(p.html)) AS payload_digest,
+               MIN(p.url) AS url, COUNT(*) AS n_copies
+        FROM reach_min r JOIN {_PAGES} p ON p.url = r.url
+        WHERE p.status = 200 AND p.content_type LIKE 'text/html%'
+        GROUP BY 1 ORDER BY payload_digest""",
         "extract_edges": f"""
         SELECT DISTINCT src, dst, kind FROM {_EDGES}
         WHERE kind != 'redirect' ORDER BY src, dst, kind""",

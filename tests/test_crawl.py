@@ -290,6 +290,18 @@ def test_double_crash_resume_no_duplicate_fetches(tmp_path, crawl_result):
     assert resumed.seen_size == crawl_result.seen_size
 
 
+def test_payload_digest_column(crawl_result):
+    """Every pages row carries the sha256 payload digest of its html bytes
+    (SURVEY §2.8's scoped-down WARC digest-dedup, crawl.go:96-99)."""
+    import hashlib
+
+    pages = crawl_result.pages_dataset(
+        columns=["html", "payload_digest"]).to_pandas()
+    assert len(pages) > 0
+    for html, digest in zip(pages["html"], pages["payload_digest"]):
+        assert digest == hashlib.sha256(html or b"").hexdigest()
+
+
 def test_robots_disallowed_seed_skipped(tmp_path):
     """Seeds pass the robots gate like every other enqueue: a seed pointing
     into a disallowed path is neither fetched nor seen-marked, matching the

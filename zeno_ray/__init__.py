@@ -8,4 +8,9 @@ Arrow; stateful stages (URL-seen filter, politeness/robots) are actor pools;
 host-keyed scheduling is a ``groupby(host)`` rank/budget shuffle.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Bump on ANY change to the crawl engine's persisted output (pages schema,
+# frontier schema, commit layout) — cached crawls under /tmp/rayzeno_crawl
+# are stamped with this so stale-schema checkpoints regenerate.
+ENGINE_VERSION = 2

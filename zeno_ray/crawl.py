@@ -92,8 +92,11 @@ class CrawlResult:
                     )
         return out
 
-    def pages_dataset(self):
-        return rd.read_parquet(self.pages_glob)
+    def pages_dataset(self, columns: list[str] | None = None):
+        """Crawled pages as a Dataset. Pass ``columns=`` whenever the
+        consumer doesn't need the fat ``html`` payload — the read then
+        prunes at the Parquet footer and the html bytes never leave disk."""
+        return rd.read_parquet(self.pages_glob, columns=columns)
 
 
 def _epoch_dir(ckpt: str, kind: str, k: int) -> str:

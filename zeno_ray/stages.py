@@ -9,6 +9,7 @@ the next stage) — no page is parsed twice.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -29,6 +30,11 @@ PAGES_CAND_SCHEMA = pa.schema(
         ("status", pa.int16()),
         ("content_type", pa.string()),
         ("html", pa.binary()),
+        # WARC payload digest (crawl.go:96-99 dedupes on it; SURVEY §2.8
+        # scopes that down to "record the digest column"). sha256 hex — the
+        # reference uses sha1-base32, but sha256 is the one digest DuckDB
+        # can recompute, making the dedup query oracle-checkable.
+        ("payload_digest", pa.string()),
         ("text", pa.string()),
         ("lang", pa.string()),
         ("warc_ts", pa.timestamp("us")),
@@ -130,6 +136,7 @@ class ExtractStage:
                          "lang", "warc_ts", "redirect_location", "hop",
                          "type", "parent_url", "order", "n_retries"):
                 out[name].append(cols[name][i])
+            out["payload_digest"].append(hashlib.sha256(html).hexdigest())
             out["text"].append(text)
             out["candidates"].append(cands)
         table = pa.table(
@@ -143,8 +150,6 @@ class ExtractStage:
         # slim candidate columns downstream. Filenames are deterministic in
         # the batch content, so a retried task overwrites its own part
         # (idempotent), and a resumed epoch rewrites the same files.
-        import hashlib
-
         if table.num_rows:
             key = hashlib.blake2b(
                 f"{out['url'][0]}|{out['url'][-1]}|{table.num_rows}|"
