@@ -346,13 +346,16 @@ def _q_doc_fingerprint(sf_dir: str):
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data as rd
 
-    from zeno_ray.ops.dedup import embedding_near_dup
+    from zeno_ray.ops.dedup import embedding_nn_lsh
 
     _quiet()
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     # threshold 0 ⇒ nearest-neighbor join: every vector reports its closest
-    # other vector (the synthetic embeddings have no true near-dups)
-    pdf = embedding_near_dup(emb, threshold=0.0).to_pandas()
+    # bucket-mate. The LSH-bucketed keyed shuffle IS the query path (no
+    # broadcast matrix, no driver materialization); the broadcast
+    # embedding_near_dup stays as the small-N verifier.
+    pdf = embedding_nn_lsh(emb, threshold=0.0, n_planes=6,
+                           max_hamming=1).to_pandas()
     if pdf.empty:
         import pandas as pd
 

@@ -112,6 +112,34 @@ def test_lsh_topk_recall(emb_ds):
         a = set(approx[approx["q"] == qi]["vec_id"])
         hits += len(e & a)
     assert hits >= 8  # ≥ ~53% recall on this tiny fixture
+    # more probes ⇒ high recall: hamming≤2 on 3 planes probes 7/8 buckets
+    wide = lsh_topk(ds, q, k=5, n_planes=3, max_hamming=2)
+    hits = sum(
+        len(set(exact[exact["q"] == qi]["vec_id"])
+            & set(wide[wide["q"] == qi]["vec_id"]))
+        for qi in range(3)
+    )
+    assert hits >= 14  # recall@5 ≥ 0.93 vs brute force
+
+
+def test_embedding_nn_lsh_matches_brute_force(emb_ds):
+    """The LSH nearest-neighbor join (the query path) agrees with the
+    broadcast brute-force verifier on ≥90% of vectors."""
+    from zeno_ray.ops.dedup import embedding_near_dup, embedding_nn_lsh
+
+    ds, _ = emb_ds
+    brute = embedding_near_dup(ds, threshold=0.0).to_pandas()
+    lsh = embedding_nn_lsh(ds, threshold=0.0, n_planes=4,
+                           max_hamming=2).to_pandas()
+    assert len(lsh) >= 0.95 * len(brute)  # nearly every vector reports
+    b = brute.set_index("vec_id")["dup_of"]
+    l = lsh.set_index("vec_id")["dup_of"]
+    common = b.index.intersection(l.index)
+    agree = (b[common] == l[common]).mean()
+    assert agree >= 0.9
+    # the planted near-identical pair is always found
+    pairs = set(zip(lsh["vec_id"], lsh["dup_of"]))
+    assert (10, 50) in pairs and (50, 10) in pairs
 
 
 def test_embedding_near_dup_finds_planted_pair(emb_ds):

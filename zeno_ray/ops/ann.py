@@ -69,6 +69,18 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
     return out
 
 
+def probe_signatures(sig: int, n_planes: int, max_hamming: int) -> list[int]:
+    """All signatures within *max_hamming* (≤2) bit flips of *sig* —
+    the multi-probe expansion set, in deterministic order."""
+    out = [sig]
+    if max_hamming >= 1:
+        out += [sig ^ (1 << b) for b in range(n_planes)]
+    if max_hamming >= 2:
+        out += [sig ^ (1 << a) ^ (1 << b)
+                for a in range(n_planes) for b in range(a + 1, n_planes)]
+    return out
+
+
 class _LshBucket:
     def __init__(self, planes_ref):
         self.planes = ray.get(planes_ref)  # (n_planes, d)
@@ -91,39 +103,64 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
     rows into 2^n_planes buckets; each query scans only buckets within
     *max_hamming* of its own signature (n_planes=8, hamming≤1 ⇒ 9/256 of
     the data per query in expectation). Exactness on ties is not
-    guaranteed — that is the point; recall rises with probes."""
+    guaranteed — that is the point; recall rises with probes.
+
+    Scale shape: the DATASET is never materialized — rows shuffle once by
+    bucket (``groupby("bucket")``), each bucket group scores only the
+    queries probing it (the tiny bucket→queries probe map and the
+    normalized query matrix are ``ray.put`` broadcast), emitting local
+    per-query top-k partials. Only ≤ n_q × (n_planes+1) × k slim rows
+    reach the driver for the final top-k reduce."""
     d = np.asarray(queries).shape[1]
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, d))
     planes_ref = ray.put(planes)
 
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_sig = ((q @ planes.T) > 0).dot(1 << np.arange(n_planes, dtype=np.uint64))
+    probe_map: dict[int, list[int]] = {}
+    for qi, sig in enumerate(int(s) for s in q_sig):
+        for s_ in probe_signatures(sig, n_planes, max_hamming):
+            probe_map.setdefault(s_, []).append(qi)
+    probe_ref = ray.put((probe_map, q))
+
     bucketed = emb_ds.map_batches(
         _LshBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
         batch_format="pandas", batch_size=4096, concurrency=4,
-    ).to_pandas()
+    )
 
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    q_sig = ((q @ planes.T) > 0).dot(1 << np.arange(n_planes, dtype=np.uint64))
-    groups = {b: g for b, g in bucketed.groupby("bucket")}
+    empty = pd.DataFrame({"q": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "sim": pd.Series([], dtype="float64")})
 
-    def probes(sig: int):
-        yield sig
-        if max_hamming >= 1:
-            for b in range(n_planes):
-                yield sig ^ (1 << b)
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pmap, qmat = ray.get(probe_ref)
+        qis = pmap.get(int(g["bucket"].iloc[0]), [])
+        if not qis:
+            return empty
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ qmat[qis].T  # (rows, n_probing_queries)
+        ids = g["vec_id"].to_numpy()
+        frames = []
+        for col, qi in enumerate(qis):
+            top = np.argsort(-sims[:, col], kind="stable")[:k]
+            frames.append(pd.DataFrame({
+                "q": qi, "vec_id": ids[top], "sim": sims[top, col]}))
+        return pd.concat(frames, ignore_index=True)
 
-    frames = []
-    for qi in range(q.shape[0]):
-        cands = [groups[p] for p in probes(int(q_sig[qi])) if p in groups]
-        if not cands:
-            continue
-        cand = pd.concat(cands, ignore_index=True)
-        mat = _normalize(np.stack(cand["embedding"].to_numpy()).astype(np.float64))
-        sims = mat @ q[qi]
-        top = np.argsort(-sims)[:k]
-        frames.append(pd.DataFrame({
-            "q": qi,
-            "vec_id": cand["vec_id"].to_numpy()[top],
-            "sim": np.round(sims[top], 6),
-        }))
-    return pd.concat(frames, ignore_index=True)
+    partials = (
+        bucketed.groupby("bucket")
+        .map_groups(score_bucket, batch_format="pandas")
+        .to_pandas()  # ≤ n_q × (n_planes+1) × k rows — the reduced result
+    )
+    if partials.empty:
+        return empty
+    out = (
+        partials.sort_values(["q", "sim", "vec_id"],
+                             ascending=[True, False, True], kind="stable")
+        .groupby("q", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out

@@ -268,6 +268,93 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
     )
 
 
+def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
+                     max_hamming: int = 1, seed: int = 11):
+    """LSH nearest-neighbor join — the scale path for "every vector reports
+    its closest other vector" (the broadcast-matrix :func:`embedding_near_dup`
+    is the small-N verifier).
+
+    Index-side multi-probe: each row is replicated into its own bucket plus
+    every bucket within *max_hamming* bit flips (``(1+n_planes)``× row
+    blowup at hamming≤1 — the standard multi-probe recall/cost trade).
+    ``groupby("bucket")`` shuffles ONCE; each group emits per-vector local
+    best-neighbor partials (vec_id, dup_of, sim); a second slim groupby
+    keeps the global max per vec_id. No driver materialization, no
+    broadcast of the data matrix. Returns rows with sim ≥ *threshold*."""
+    import ray as _ray
+
+    from zeno_ray.ops.ann import _normalize, probe_signatures
+
+    rng = np.random.RandomState(seed)
+    first = emb_ds.take(1)[0]["embedding"]
+    planes = rng.normal(size=(n_planes, len(first)))
+    planes_ref = _ray.put(planes)
+
+    class _MultiProbeBucket:
+        def __init__(self, planes_ref):
+            self.planes = _ray.get(planes_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            bits = (mat @ self.planes.T) > 0
+            sigs = bits.dot(1 << np.arange(bits.shape[1], dtype=np.uint64))
+            ids, bkts, embs = [], [], []
+            emb_np = batch["embedding"].to_numpy()
+            for i, sig in enumerate(int(s) for s in sigs):
+                for s_ in probe_signatures(sig, n_planes, max_hamming):
+                    ids.append(batch["vec_id"].iloc[i])
+                    bkts.append(s_)
+                    embs.append(emb_np[i])
+            return pd.DataFrame({
+                "vec_id": ids,
+                "bucket": np.asarray(bkts, dtype=np.uint64),
+                "embedding": embs,
+            })
+
+    bucketed = emb_ds.map_batches(
+        _MultiProbeBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
+        batch_format="pandas", batch_size=4096, concurrency=4,
+    )
+
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "dup_of": pd.Series([], dtype="int64"),
+                          "sim": pd.Series([], dtype="float64")})
+
+    def local_best(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ mat.T
+        ids = g["vec_id"].to_numpy()
+        same = ids[:, None] == ids[None, :]  # replicas of one vector
+        sims[same] = -np.inf
+        best = np.argmax(sims, axis=1)
+        best_sim = sims[np.arange(len(ids)), best]
+        ok = np.isfinite(best_sim)
+        return pd.DataFrame({"vec_id": ids[ok], "dup_of": ids[best][ok],
+                             "sim": best_sim[ok]})
+
+    def global_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "dup_of"], ascending=[False, True],
+                          kind="stable")
+        return g.iloc[:1]
+
+    out = (
+        bucketed.groupby("bucket")
+        .map_groups(local_best, batch_format="pandas")
+        .groupby("vec_id")
+        .map_groups(global_best, batch_format="pandas")
+    )
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sim"] >= threshold].copy()
+        df["sim"] = df["sim"].round(6)
+        return df
+
+    return out.map_batches(thresh, batch_format="pandas")
+
+
 def embedding_near_dup_lsh(emb_ds, threshold: float = 0.95, n_planes: int = 8,
                            seed: int = 11):
     """Scale path for embedding near-dup: random-hyperplane LSH buckets
