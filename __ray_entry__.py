@@ -313,7 +313,7 @@ def _q_dedup_simhash(sf_dir: str):
     _quiet()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    pdf = simhash_groups(docs).to_pandas()[["doc_id", "cluster"]]
+    pdf = simhash_groups(docs)[["doc_id", "cluster"]]
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -49,6 +49,40 @@ def test_minhash_clusters_exact_and_near_dups(docs_ds):
     assert cl[1] != cl[0]
 
 
+def test_minhash_planted_precision_recall():
+    """Planted near-dups: 30 bases each with a 1-word-edited twin, plus 15
+    unrelated docs. Distributed verify must cluster ≥90% of planted pairs
+    (recall) and never merge docs from different bases (precision)."""
+    from zeno_ray.ops.dedup import minhash_dedup
+
+    rng = np.random.RandomState(42)
+    vocab = [f"word{i}" for i in range(500)]
+    rows, base_of = [], {}
+    did = 0
+    for b in range(30):
+        words = [vocab[i] for i in rng.randint(0, 500, 40)]
+        twin = list(words)
+        twin[rng.randint(0, 40)] = "EDITED"
+        for text in (" ".join(words), " ".join(twin)):
+            rows.append({"doc_id": did, "text": text})
+            base_of[did] = b
+            did += 1
+    for b in range(30, 45):
+        words = [vocab[i] for i in rng.randint(0, 500, 40)]
+        rows.append({"doc_id": did, "text": " ".join(words)})
+        base_of[did] = b
+        did += 1
+    out = minhash_dedup(rd.from_items(rows), jaccard_threshold=0.7)
+    cl = dict(zip(out["doc_id"], out["cluster"]))
+    recalled = sum(cl[2 * b] == cl[2 * b + 1] for b in range(30))
+    assert recalled >= 27  # recall ≥ 0.9
+    # precision: a cluster never spans two bases
+    by_cluster = {}
+    for d, c in cl.items():
+        by_cluster.setdefault(c, set()).add(base_of[d])
+    assert all(len(bases) == 1 for bases in by_cluster.values())
+
+
 def test_minhash_deterministic(docs_ds):
     from zeno_ray.ops.dedup import minhash_dedup
 
@@ -60,9 +94,52 @@ def test_minhash_deterministic(docs_ds):
 def test_simhash_buckets_exact_dups(docs_ds):
     from zeno_ray.ops.dedup import simhash_groups
 
-    out = simhash_groups(docs_ds).to_pandas()
+    out = simhash_groups(docs_ds)
     cl = dict(zip(out["doc_id"], out["cluster"]))
     assert cl[100] == cl[0]
+
+
+def test_simhash_clusters_within_hamming_radius():
+    """Near-dups whose simhashes differ by 1-3 bits must cluster (the
+    banded hamming≤3 radius); unrelated docs must not."""
+    from zeno_ray.ops.dedup import SimHashStage, _popcount64, simhash_groups
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    did = 0
+    planted = []
+    for b in range(20):
+        words = [vocab[i] for i in rng.randint(0, 400, 150)]
+        twin = list(words)
+        twin[0] = "ALTERED"  # small edit → few simhash bits flip
+        rows.append({"doc_id": did, "text": " ".join(words)})
+        rows.append({"doc_id": did + 1, "text": " ".join(twin)})
+        planted.append((did, did + 1))
+        did += 2
+    out = simhash_groups(rd.from_items(rows))
+    cl = dict(zip(out["doc_id"], out["cluster"]))
+    sh = dict(zip(out["doc_id"], out["simhash"]))
+    hits = expected = 0
+    for a, b in planted:
+        d = int(_popcount64(np.array([np.uint64(sh[a]) ^ np.uint64(sh[b])]))[0])
+        if 1 <= d <= 3:  # within the operator's declared radius
+            expected += 1
+            hits += cl[a] == cl[b]
+    assert expected >= 5  # the fixture actually exercises 1-3-bit dups
+    assert hits == expected  # every in-radius pair is clustered
+    # docs from different bases never merge
+    base = {d: d // 2 for d in cl}
+    by_cluster = {}
+    for d, c in cl.items():
+        by_cluster.setdefault(c, set()).add(base[d])
+    for c, bases in by_cluster.items():
+        if len(bases) > 1:
+            # only legal if those cross-base simhashes are within radius
+            ids = [d for d in cl if cl[d] == c]
+            assert any(
+                int(_popcount64(np.array([np.uint64(sh[x]) ^ np.uint64(sh[y])]))[0]) <= 3
+                for x in ids for y in ids if x < y and base[x] != base[y])
 
 
 def test_ngram_jaccard():

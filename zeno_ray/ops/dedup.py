@@ -112,6 +112,10 @@ def minhash_lsh_bands(sig_df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     )
 
 
+_PAIR_EMPTY = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                            "b": pd.Series([], dtype="int64")})
+
+
 def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
                   jaccard_threshold: float = 0.8):
     """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
@@ -119,15 +123,20 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
     near-dup group. Candidate pairs are verified with real signature
     Jaccard before clustering.
 
-    The candidate-pair set and cluster map are assumed small relative to
-    the corpus (the usual LSH regime); both are reduced driver-side. The
-    signature/banding stages stream.
+    Scale shape — every stage is distributed except the union-find:
+    signatures are computed ONCE (materialized intermediate, spillable);
+    band explode → ``groupby(band, band_hash)`` emits candidate pairs;
+    pairs dedupe across bands in a slim keyed shuffle; signatures attach
+    to pair sides via a ``groupby(doc_id)`` keyed shuffle (Ray Data has no
+    join — union + groupby IS the repartition join); Jaccard verification
+    runs per pair inside ``map_groups``. Only the VERIFIED edge list
+    (tiny in the LSH regime) and the (doc_id, cluster) product reach the
+    driver.
     """
-    stage = MinHashStage(n_perm=n_perm)
     sigs = docs_ds.map_batches(
         MinHashStage, fn_constructor_kwargs={"n_perm": n_perm},
         batch_format="pandas", batch_size=1024, concurrency=4,
-    )
+    ).materialize()  # consumed by both the band explode and the verify join
     bands = sigs.map_batches(
         lambda df: minhash_lsh_bands(df, n_bands=n_bands), batch_format="pandas"
     )
@@ -135,24 +144,77 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
+            return _PAIR_EMPTY
         a, b = np.meshgrid(ids, ids)
         m = a < b
         return pd.DataFrame({"a": a[m], "b": b[m]})
 
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
     pairs = (
         bands.groupby(["band", "band_hash"])
         .map_groups(pairs_of_bucket, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
+        .groupby(["a", "b"])  # dedupe pairs found in multiple bands
+        .map_groups(first_row, batch_format="pandas")
     )
-    sig_pdf = sigs.to_pandas().set_index("doc_id")["minhash"]
-    keep = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        sa = np.asarray(sig_pdf[a], dtype=np.uint64)
-        sb = np.asarray(sig_pdf[b], dtype=np.uint64)
-        if (sa == sb).mean() >= jaccard_threshold:
-            keep.append((int(a), int(b)))
+
+    # ---- repartition join: signatures onto pair sides, verify per pair ----
+    _zero_sig = np.zeros(0, dtype=np.uint64)
+
+    def need_rows(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.concatenate([a, b]),
+            "pa": np.concatenate([a, a]),
+            "pb": np.concatenate([b, b]),
+            "minhash": [_zero_sig] * (2 * len(df)),
+        })
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "pa": np.int64(-1),
+            "pb": np.int64(-1),
+            "minhash": list(df["minhash"]),
+        })
+
+    side_empty = pd.DataFrame({
+        "pa": pd.Series([], dtype="int64"), "pb": pd.Series([], dtype="int64"),
+        "minhash": pd.Series([], dtype="object"),
+    })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["pa"] < 0]
+        need = g[g["pa"] >= 0]
+        if sig.empty or need.empty:
+            return side_empty
+        sv = np.asarray(sig["minhash"].iloc[0], dtype=np.uint64)
+        return pd.DataFrame({
+            "pa": need["pa"].to_numpy(), "pb": need["pb"].to_numpy(),
+            "minhash": [sv] * len(need),
+        })
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return _PAIR_EMPTY
+        sa = np.asarray(g["minhash"].iloc[0], dtype=np.uint64)
+        sb = np.asarray(g["minhash"].iloc[1], dtype=np.uint64)
+        if len(sa) and len(sa) == len(sb) and (sa == sb).mean() >= jaccard_threshold:
+            return pd.DataFrame({"a": [int(g["pa"].iloc[0])],
+                                 "b": [int(g["pb"].iloc[0])]})
+        return _PAIR_EMPTY
+
+    edges = (
+        pairs.map_batches(need_rows, batch_format="pandas")
+        .union(sigs.map_batches(sig_rows, batch_format="pandas"))
+        .groupby("doc_id")
+        .map_groups(attach, batch_format="pandas")
+        .groupby(["pa", "pb"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()  # VERIFIED edges only — tiny in the LSH regime
+    )
     # greedy min-label union-find over the (small) verified pair graph
     parent: dict[int, int] = {}
 
@@ -162,15 +224,16 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
             x = parent[x]
         return x
 
-    for a, b in keep:
-        ra, rb = find(a), find(b)
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    all_ids = sig_pdf.index.to_numpy()
+    all_ids = np.sort(
+        sigs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
     return pd.DataFrame(
         {"doc_id": all_ids, "cluster": [find(int(i)) for i in all_ids]}
-    ).sort_values("doc_id").reset_index(drop=True)
+    ).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -199,16 +262,83 @@ class SimHashStage:
         return out
 
 
-def simhash_groups(docs_ds):
-    """Docs sharing an identical simhash (hamming-0 near-dup bucket)."""
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 (numpy 1.x has no bitwise_count)."""
+    v = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(v.view(np.uint8)).reshape(*v.shape, 64).sum(axis=-1)
+
+
+def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
+                   ) -> pd.DataFrame:
+    """SimHash near-dup clustering at a REAL radius: 4×16-bit band buckets
+    (pigeonhole: any two 64-bit hashes within hamming ≤ 3 agree on at
+    least one of 4 bands), exact hamming verification inside each bucket
+    group, then min-label union-find over the verified edges.
+
+    Scale shape mirrors :func:`minhash_dedup`: the band explode is a slim
+    (doc_id, band, band_val, simhash) keyed shuffle — the 8-byte simhash
+    rides along, so verification needs no signature join; only verified
+    edges and the (doc_id, cluster) product reach the driver. Returns a
+    DataFrame (doc_id, simhash, cluster), cluster = min doc_id of the
+    connected near-dup component."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
     sims = docs_ds.map_batches(SimHashStage, batch_format="pandas",
-                               batch_size=1024, concurrency=4)
+                               batch_size=1024, concurrency=4).materialize()
 
-    def group(g: pd.DataFrame) -> pd.DataFrame:
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        ids = df["doc_id"].to_numpy()
+        frames = [
+            pd.DataFrame({
+                "doc_id": ids, "band": b,
+                "band_val": (sh >> np.uint64(b * width)) & mask,
+                "simhash": sh,
+            })
+            for b in range(n_bands)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _PAIR_EMPTY
         g = g.sort_values("doc_id", kind="stable")
-        return g.assign(cluster=g["doc_id"].iloc[0])
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        dist = _popcount64(hs[:, None] ^ hs[None, :])
+        ii, jj = np.nonzero(np.triu(dist <= max_hamming, k=1))
+        if not len(ii):
+            return _PAIR_EMPTY
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    return sims.groupby("simhash").map_groups(group, batch_format="pandas")
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    edges = (
+        sims.map_batches(explode, batch_format="pandas")
+        .groupby(["band", "band_val"])
+        .map_groups(pairs_of_bucket, batch_format="pandas")
+        .groupby(["a", "b"])  # dedupe pairs found in multiple bands
+        .map_groups(first_row, batch_format="pandas")
+        .to_pandas()  # verified edge list — tiny
+    )
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    pdf = sims.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pdf["cluster"] = [find(int(i)) for i in pdf["doc_id"]]
+    return pdf
 
 
 # -------------------------------------------------------------- n-gram Jaccard
