@@ -49,8 +49,8 @@ def test_robots_deny_prefixes():
 
 def test_plugin_pre_fetch_rewrite():
     reg = example_registry()
-    assert reg.apply_pre_fetch("https://h.example/embed/3") == "https://h.example/page/3"
-    assert reg.apply_pre_fetch("https://h.example/page/3") == "https://h.example/page/3"
+    assert reg.apply_pre_fetch("https://h.example/embed/3").url == "https://h.example/page/3"
+    assert reg.apply_pre_fetch("https://h.example/page/3").url == "https://h.example/page/3"
 
 
 def test_plugin_post_extract_adds_asset():
@@ -64,7 +64,7 @@ def test_plugin_registry_order():
     reg = PluginRegistry()
     reg.register_pre_fetch(lambda u: True, lambda u: u + "/a")
     reg.register_pre_fetch(lambda u: True, lambda u: u + "/b")
-    assert reg.apply_pre_fetch("x") == "x/a/b"
+    assert reg.apply_pre_fetch("x").url == "x/a/b"
 
 
 @pytest.mark.usefixtures("ray_session")

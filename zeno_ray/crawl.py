@@ -98,6 +98,24 @@ class CrawlResult:
         prunes at the Parquet footer and the html bytes never leave disk."""
         return rd.read_parquet(self.pages_glob, columns=columns)
 
+    def metadata_records(self):
+        """Plugin-emitted WARC-metadata-style side records as a pandas
+        DataFrame (url, metadata) — empty if no plugin wrote any."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        frames = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            if name.startswith("meta_epoch_"):
+                root = os.path.join(self.ckpt_dir, name)
+                for dirpath, _d, files in os.walk(root):
+                    frames.extend(
+                        pq.read_table(os.path.join(dirpath, f)).to_pandas()
+                        for f in sorted(files) if f.endswith(".parquet"))
+        if not frames:
+            return pd.DataFrame({"url": [], "metadata": []})
+        return pd.concat(frames, ignore_index=True)
+
 
 def _epoch_dir(ckpt: str, kind: str, k: int) -> str:
     return os.path.join(ckpt, f"{kind}_epoch_{k}")
@@ -141,7 +159,7 @@ def _clean_stale_epochs(ckpt: str, last: int) -> None:
     (the WAL-truncate step of ``queue/index/recovery.go:9-60``)."""
     import re
 
-    pat = re.compile(r"^(pages|seen|metrics|frontier)_epoch_(\d+)$")
+    pat = re.compile(r"^(pages|seen|metrics|frontier|meta)_epoch_(\d+)$")
     for name in os.listdir(ckpt):
         m = pat.match(name)
         if m:
@@ -224,6 +242,10 @@ def run_crawl(
     # HTTP fetcher (connection pools, cookie jars) would flip back to the
     # actor-pool form: map_batches(Fetcher, fn_constructor_kwargs=...,
     # concurrency=N).
+    if plugins is not None:
+        # post-fetch hooks that need side lookups (the ina player-version
+        # probe, ina.go:110-170) fetch through the engine's fetch function
+        plugins.bind_fetch(spec.lookup)
     fetcher = Fetcher(spec=spec, seen_shards=seen,
                       max_retry=cfg.max_retry, max_redirect=cfg.max_redirect,
                       plugins=plugins)
@@ -276,6 +298,10 @@ def run_crawl(
             # ---- the epoch pipeline: ONE streaming execution ----
             pdir = _epoch_dir(ckpt_dir, "pages", k)
             os.makedirs(pdir, exist_ok=True)
+            mdir_side = None
+            if plugins is not None and plugins.post_fetch:
+                mdir_side = _epoch_dir(ckpt_dir, "meta", k)
+                os.makedirs(mdir_side, exist_ok=True)
             # execution 1: fetch → parse(+pages sink) → explode. The html
             # leaves the pipeline at the parse stage (side-effect Parquet
             # part per batch); only slim candidate rows materialize.
@@ -284,7 +310,8 @@ def run_crawl(
                     fetcher, batch_format="pyarrow",
                     batch_size=cfg.fetch_batch_size)
                 .map_batches(
-                    ExtractStage(cfg, pages_dir=pdir, plugins=plugins),
+                    ExtractStage(cfg, pages_dir=pdir, plugins=plugins,
+                                 meta_dir=mdir_side),
                     batch_format="pyarrow", batch_size=cfg.extract_batch_size)
                 .map_batches(
                     CandidateStage(cfg),

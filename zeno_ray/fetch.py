@@ -60,16 +60,24 @@ class Fetcher:
         # rewrites (the capture.go:213-315 hook point)
 
     def _fetch_one(self, url: str):
-        """(record, n_retries) after the 429 retry loop (capture.go:58-117)."""
+        """(record, n_retries, companion_urls) after the pre-fetch plugin
+        chain and the 429 retry loop (capture.go:58-117, 213-315)."""
+        companions: list = []
         if self.plugins is not None:
-            url = self.plugins.apply_pre_fetch(url)
+            act = self.plugins.apply_pre_fetch(url)
+            url = act.url or url
+            companions = act.companions
+            # act.headers / act.cookies would decorate the HTTP request
+            # here (tiktok/vk/reddit, capture.go:294-315); the sandbox
+            # corpus function takes no headers, so they are computed (and
+            # unit-tested) but not transmittable.
         rec = self.spec.lookup(url)
         retries = 0
         while retries < rec.attempts_needed and retries < self.max_retry:
             retries += 1  # 429 → backoff → retry (backoff counted, not slept)
         if rec.attempts_needed > 0 and retries >= self.max_retry:
-            return None, retries  # gave up on a permanently-429 URL
-        return rec, retries
+            return None, retries, companions  # gave up on a permanent-429
+        return rec, retries, companions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in FETCHED_SCHEMA.names}
@@ -99,15 +107,23 @@ class Fetcher:
             out["order"].append(order)
             out["n_retries"].append(retries)
 
-        # redirect chains advance in waves so the mid-chain seen-checks are
-        # batched across the whole input batch (capture.go:142-158 does one
-        # URL at a time; same semantics, one RPC round per chain depth)
+        # redirect chains (and plugin companion items) advance in waves so
+        # the mid-chain seen-checks are batched across the whole input
+        # batch (capture.go:142-158 does one URL at a time; same
+        # semantics, one RPC round per chain depth). Companions are the
+        # reference's recursive in-line c.Capture(...) calls
+        # (capture.go:230-252) — seen-checked, fetched in the next wave,
+        # recorded with the parent's hop/order.
         pending = list(zip(urls, hops, types, parents, orders))
         depth = 0
         while pending and depth <= self.max_redirect:
             next_targets = []  # (target, hop, typ, parent, order)
             for url, hop, typ, parent, order in pending:
-                rec, retries = self._fetch_one(url)
+                rec, retries, companions = self._fetch_one(url)
+                for comp in companions:
+                    target = canonicalize(comp)
+                    if target and target != url:
+                        next_targets.append((target, hop, typ, url, order))
                 if rec is None:
                     continue
                 emit(url, rec, hop, typ, parent, order, retries)
@@ -119,7 +135,7 @@ class Fetcher:
                         next_targets.append((target, hop, typ, url, order))
             if not next_targets:
                 break
-            # seen-check the redirect targets; only new ones are followed
+            # seen-check redirect targets + companions; only new ones follow
             h = np.array([hash64(t[0]) for t in next_targets], dtype=np.uint64)
             new_mask = check_and_add_batched(self.seen, h)
             pending = [t for t, m in zip(next_targets, new_mask) if m]

@@ -76,10 +76,11 @@ class ExtractStage:
     """
 
     def __init__(self, cfg: CrawlConfig, pages_dir: str | None = None,
-                 plugins=None):
+                 plugins=None, meta_dir: str | None = None):
         self.cfg = cfg
         self.pages_dir = pages_dir
-        self.plugins = plugins  # PluginRegistry | None — post-extract hooks
+        self.meta_dir = meta_dir  # WARC-metadata-style side records sink
+        self.plugins = plugins  # PluginRegistry | None — post-fetch/extract
         self.is_excluded = make_is_excluded(cfg)
         self.disabled = frozenset(cfg.disabled_html_tags)
 
@@ -88,6 +89,7 @@ class ExtractStage:
         out = {n: [] for n in PAGES_CAND_SCHEMA.names}
         cols = {n: batch[n].to_pylist() for n in batch.schema.names}
         n = batch.num_rows
+        meta_records: list[tuple[str, str]] = []
         for i in range(n):
             url = cols["url"][i]
             status = cols["status"][i]
@@ -99,6 +101,16 @@ class ExtractStage:
             parse = status == 200 and (
                 typ == "seed" or (typ == "asset" and is_m3u8_content_type(ct))
             )
+            # post-fetch plugin chain (capture.go:339-437): response-body
+            # extractors run before (or instead of) the generic extractor
+            pf = None
+            if self.plugins is not None and status == 200 and typ == "seed":
+                pf = self.plugins.apply_post_fetch(url, html, ct)
+                if pf is not None:
+                    if pf.metadata:
+                        meta_records.append((url, pf.metadata))
+                    if pf.consume:
+                        parse = False
             if parse and not cfg.disable_assets_capture and typ == "asset":
                 res = extract_from_page(
                     url, html, ct, server=cols["server"][i],
@@ -132,6 +144,20 @@ class ExtractStage:
                         {"url": u, "kind": "asset", "pos": base + p}
                         for p, u in enumerate(assets)
                     ]
+            if pf is not None:
+                # plugin-extracted outlinks/assets (reddit permalinks,
+                # youtube stream/meta URLs, ina player set) enqueue after
+                # the page's own links
+                base = len(cands)
+                cands += [
+                    {"url": u, "kind": "outlink", "pos": base + p}
+                    for p, u in enumerate(pf.outlinks)
+                ]
+                base = len(cands)
+                cands += [
+                    {"url": u, "kind": "asset", "pos": base + p}
+                    for p, u in enumerate(pf.assets)
+                ]
             for name in ("url", "host", "status", "content_type", "html",
                          "lang", "warc_ts", "redirect_location", "hop",
                          "type", "parent_url", "order", "n_retries"):
@@ -143,6 +169,23 @@ class ExtractStage:
             {k: pa.array(v, PAGES_CAND_SCHEMA.field(k).type) for k, v in out.items()},
             schema=PAGES_CAND_SCHEMA,
         )
+        if self.meta_dir is not None and meta_records:
+            # WARC metadata record side-table (capture.go:387-389 writes a
+            # metadata WARC record per extracted video; here one Parquet
+            # row (url, metadata) per record, same idempotent part naming)
+            import pyarrow.parquet as pq
+
+            mt = pa.table({
+                "url": pa.array([u for u, _ in meta_records], pa.string()),
+                "metadata": pa.array([m for _, m in meta_records], pa.string()),
+            })
+            key = hashlib.blake2b(
+                "|".join(u for u, _ in meta_records).encode(), digest_size=12
+            ).hexdigest()
+            tmp = os.path.join(self.meta_dir, f".part-{key}.tmp")
+            final = os.path.join(self.meta_dir, f"part-{key}.parquet")
+            pq.write_table(mt, tmp)
+            os.replace(tmp, final)
         if self.pages_dir is None:
             return table
         # sink mode: write this batch's pages part here (side-effect sink —
