@@ -38,9 +38,94 @@ class CrawlConfig:
                                       # (the reference has NO robots code —
                                       # SURVEY.md §2.4; additive, default
                                       # preserves reference behavior)
+    cookie_file: str = ""  # --cookies: Netscape cookies.txt loaded into the
+                           # fetcher's jar (crawl.go:175-182)
+    api: bool = False      # --api: serve live stats JSON + /metrics
+    api_port: int = 0      # --api-port (reference default 9443; 0 here =
+                           # ephemeral, the test-friendly default)
 
     def all_excluded_hosts(self) -> tuple:
         return tuple(self.excluded_hosts) + DEFAULT_EXCLUDED_HOSTS
+
+
+# flag aliases (config.go handleFlagsAliases: e.g. --hops → max-hops)
+CONFIG_ALIASES = {
+    "hops": "max_hops",
+    "cookies": "cookie_file",
+    "exclude_host": "excluded_hosts",
+    "include_host": "included_hosts",
+    "exclude_string": "excluded_strings",
+    "include_string": "included_strings",
+}
+
+ENV_PREFIX = "RAYZENO_"  # the reference's ZENO_* (config.go:120-123)
+
+
+def _coerce(value, target_type):
+    """Coerce a string (env/yaml) value to a CrawlConfig field type."""
+    if isinstance(value, target_type) and not isinstance(value, str):
+        return value
+    if target_type is bool:
+        if isinstance(value, bool):
+            return value
+        return str(value).strip().lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(value)
+    if target_type is tuple:
+        if isinstance(value, (list, tuple)):
+            return tuple(value)
+        return tuple(s.strip() for s in str(value).split(",") if s.strip())
+    return str(value)
+
+
+def load_config(flags: dict | None = None, yaml_path: str | None = None,
+                env: dict | None = None) -> CrawlConfig:
+    """Build a CrawlConfig with the reference's precedence chain
+    (config.go:98-156: flags → env → config file → defaults; viper's
+    AutomaticEnv with the ``ZENO_`` prefix and ``-``/``.`` → ``_``
+    replacement becomes ``RAYZENO_<FIELD>``; the consul remote layer is
+    out of scope — no network). Alias keys (``hops`` → ``max_hops``)
+    are accepted in every layer, like handleFlagsAliases."""
+    import dataclasses
+    import os
+
+    field_types = {f.name: f.type for f in dataclasses.fields(CrawlConfig)}
+    # dataclass stores annotations as strings under __future__.annotations
+    resolved = {
+        "int": int, "bool": bool, "tuple": tuple, "str": str,
+    }
+
+    def norm_key(key: str) -> str:
+        k = key.replace("-", "_").replace(".", "_").lower()
+        return CONFIG_ALIASES.get(k, k)
+
+    def typ(name: str):
+        t = field_types[name]
+        return resolved.get(t, t) if isinstance(t, str) else t
+
+    values: dict = {}
+    # layer 1 (lowest): yaml config file
+    if yaml_path and os.path.exists(yaml_path):
+        import yaml as _yaml
+
+        loaded = _yaml.safe_load(open(yaml_path)) or {}
+        for k, v in loaded.items():
+            k = norm_key(k)
+            if k in field_types:
+                values[k] = _coerce(v, typ(k))
+    # layer 2: environment (RAYZENO_MAX_HOPS=6 etc.)
+    env_map = env if env is not None else os.environ
+    for k, v in env_map.items():
+        if k.startswith(ENV_PREFIX):
+            name = norm_key(k[len(ENV_PREFIX):])
+            if name in field_types:
+                values[name] = _coerce(v, typ(name))
+    # layer 3 (highest): explicit flags
+    for k, v in (flags or {}).items():
+        k = norm_key(k)
+        if k in field_types:
+            values[k] = _coerce(v, typ(k))
+    return CrawlConfig(**values)
 
 
 def make_is_excluded(cfg: CrawlConfig):

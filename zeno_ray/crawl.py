@@ -248,7 +248,19 @@ def run_crawl(
         plugins.bind_fetch(spec.lookup)
     fetcher = Fetcher(spec=spec, seen_shards=seen,
                       max_retry=cfg.max_retry, max_redirect=cfg.max_redirect,
-                      plugins=plugins)
+                      plugins=plugins, cookie_file=cfg.cookie_file or None)
+
+    api_server = None
+    api_state: dict = {"workers": [
+        {"worker_id": "fetch-pool", "status": "idle",
+         "concurrency": cfg.fetch_concurrency},
+        {"worker_id": "seen-shards", "status": "idle",
+         "concurrency": cfg.seen_shards},
+    ]}
+    if cfg.api:
+        from zeno_ray.statsapi import StatsServer
+
+        api_server = StatsServer(lambda: dict(api_state), port=cfg.api_port)
 
     committer = ThreadPoolExecutor(max_workers=1)
     pending = None
@@ -381,6 +393,7 @@ def run_crawl(
             pending = committer.submit(
                 _commit_epoch, ckpt_dir, k, next_rows, seen_dumps,
                 hosts_snapshot, m, metrics, total_holder, fast_mode,
+                api_state,
             )
             if os.environ.get("RAYZENO_SYNC_COMMIT"):
                 pending.result()
@@ -393,6 +406,8 @@ def run_crawl(
         if pending is not None:
             pending.result()
         committer.shutdown(wait=True)
+        if api_server is not None:
+            api_server.close()
 
     return CrawlResult(
         ckpt_dir=ckpt_dir,
@@ -404,7 +419,7 @@ def run_crawl(
 
 
 def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
-                  metrics, total_holder, fast_mode=False):
+                  metrics, total_holder, fast_mode=False, api_state=None):
     """Durable epoch commit (runs on the committer thread, overlapped with
     epoch k+1's compute): frontier parquet, seen shards, host registry,
     metrics + per-host lineage, then the _SUCCESS marker."""
@@ -471,6 +486,16 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
 
     metrics.append(m)
     total_holder["pages"] += n_pages + n_assets
+    if api_state is not None:
+        # live-stats surface (api.go:35-61's counters, epoch granularity)
+        api_state["crawled_seeds"] = (
+            api_state.get("crawled_seeds", 0) + n_pages)
+        api_state["crawled_assets"] = (
+            api_state.get("crawled_assets", 0) + n_assets)
+        api_state["queued"] = m["next_frontier_rows"]
+        api_state["hosts"] = m["hosts"]
+        api_state["epoch"] = k
+        api_state["seen_size"] = m["seen_size"]
     with open(_marker(ckpt_dir, k), "w") as f:
         f.write("ok")
 

@@ -46,18 +46,51 @@ FETCHED_SCHEMA = pa.schema(
 )
 
 
+class CookieJar:
+    """The fetcher's cookie jar — role of ``crawl.go:175-182`` (a Netscape
+    ``cookies.txt`` parsed into the HTTP client's jar). Thin wrapper over
+    stdlib ``http.cookiejar.MozillaCookieJar`` with a dict view per URL;
+    plugin cookies (reddit.go:34-48) merge on top without clobbering."""
+
+    def __init__(self, cookie_file: str | None = None):
+        import http.cookiejar
+
+        self._jar = http.cookiejar.MozillaCookieJar()
+        if cookie_file:
+            self._jar.load(cookie_file, ignore_discard=True,
+                           ignore_expires=True)
+
+    def cookies_for(self, url: str) -> dict:
+        from urllib.parse import urlsplit
+
+        host = urlsplit(url).netloc.partition(":")[0]
+        path = urlsplit(url).path or "/"
+        out = {}
+        for c in self._jar:
+            dom = c.domain.lstrip(".")
+            if (host == dom or host.endswith("." + dom)) and \
+                    path.startswith(c.path or "/"):
+                out[c.name] = c.value
+        return out
+
+    def __len__(self):
+        return len(self._jar)
+
+
 class Fetcher:
     """map_batches(Fetcher, concurrency=N) — batch of frontier rows in,
     batch of fetched records out (one extra row per redirect hop)."""
 
     def __init__(self, spec: CorpusSpec, seen_shards: list, max_retry: int = 5,
-                 max_redirect: int = 20, plugins=None):
+                 max_redirect: int = 20, plugins=None,
+                 cookie_file: str | None = None):
         self.spec = spec
         self.seen = seen_shards
         self.max_retry = max_retry
         self.max_redirect = max_redirect
         self.plugins = plugins  # PluginRegistry | None — pre-fetch URL
         # rewrites (the capture.go:213-315 hook point)
+        self.jar = CookieJar(cookie_file) if cookie_file else None
 
     def _fetch_one(self, url: str):
         """(record, n_retries, companion_urls) after the pre-fetch plugin
@@ -67,10 +100,18 @@ class Fetcher:
             act = self.plugins.apply_pre_fetch(url)
             url = act.url or url
             companions = act.companions
-            # act.headers / act.cookies would decorate the HTTP request
-            # here (tiktok/vk/reddit, capture.go:294-315); the sandbox
-            # corpus function takes no headers, so they are computed (and
-            # unit-tested) but not transmittable.
+            # act.headers / act.cookies decorate the request here
+            # (tiktok/vk/reddit, capture.go:294-315), layered over the
+            # jar's cookies for this URL (no-clobber); the sandbox corpus
+            # function takes no headers, so the request decoration is
+            # computed (and unit-tested) but not transmittable.
+            if self.jar is not None:
+                # jar cookies are the request's existing cookies; plugin
+                # cookies add only when absent (reddit.go:34-48)
+                merged = self.jar.cookies_for(url)
+                for k, v in act.cookies.items():
+                    merged.setdefault(k, v)
+                act.cookies = merged
         rec = self.spec.lookup(url)
         retries = 0
         while retries < rec.attempts_needed and retries < self.max_retry:
