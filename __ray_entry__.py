@@ -355,7 +355,7 @@ def _q_embedding_near_dup(sf_dir: str):
     # broadcast matrix, no driver materialization); the broadcast
     # embedding_near_dup stays as the small-N verifier.
     pdf = embedding_nn_lsh(emb, threshold=0.0, n_planes=6,
-                           max_hamming=1).to_pandas()
+                           max_hamming=2).to_pandas()
     if pdf.empty:
         import pandas as pd
 

@@ -42,6 +42,158 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+# --------------------------------------------------------- python oracles
+# Driver-independent checks for the queries DuckDB cannot express: each
+# runs SEQUENTIALLY on the driver (no Ray) and validates the distributed
+# result — catching batching/shuffle/ordering bugs, which is exactly what
+# a SQL oracle would catch. Semantic checks (true Jaccard, true cosine)
+# are computed from the raw tables, independent of the hash/LSH code.
+
+
+def _shingle_set(text: str, k: int = 5) -> set:
+    t = " ".join(text.lower().split())
+    return {t[i:i + k] for i in range(max(1, len(t) - k + 1))}
+
+
+def check_doc_langid(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.text import LangIdStage
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    seq = LangIdStage()(docs.sort_values("doc_id").reset_index(drop=True))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (got["pred_lang"].to_numpy() == seq["pred_lang"].to_numpy()).all(), \
+        "distributed langid != sequential re-execution"
+
+
+def check_doc_fingerprint(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.text import fingerprint
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    seq = fingerprint(docs.sort_values("doc_id").reset_index(drop=True))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert (got["fingerprint"].to_numpy().astype("uint64")
+            == seq["fingerprint"].to_numpy().astype("uint64")).all(), \
+        "distributed fingerprint != sequential re-execution"
+    # property: exact-duplicate texts share a fingerprint
+    full = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"]).merge(got, on="doc_id")
+    nuniq = full.groupby("text")["fingerprint"].nunique()
+    assert (nuniq == 1).all(), "exact-dup texts got different fingerprints"
+
+
+def check_dedup_minhash(got: pd.DataFrame, sf_dir: str) -> None:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cl = dict(zip(got["doc_id"], got["cluster"]))
+    # exact-duplicate texts must co-cluster (recall floor)
+    for _, g in docs.groupby("text"):
+        ids = g["doc_id"].tolist()
+        assert len({cl[i] for i in ids}) == 1, \
+            f"exact dups split across clusters: {ids}"
+    # clustered pairs must be genuinely similar: every multi-doc cluster
+    # must contain at least one pair with TRUE shingle Jaccard >= 0.5
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    by_cluster: dict = {}
+    for d, c in cl.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, ids in by_cluster.items():
+        if len(ids) < 2:
+            continue
+        sets = [_shingle_set(texts[i]) for i in ids[:10]]
+        best = max(
+            len(a & b) / max(1, len(a | b))
+            for i, a in enumerate(sets) for b in sets[i + 1:]
+        )
+        assert best >= 0.5, f"cluster {c} has no truly-similar pair ({best:.2f})"
+
+
+def check_dedup_simhash(got: pd.DataFrame, sf_dir: str) -> None:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    cl = dict(zip(got["doc_id"], got["cluster"]))
+    for _, g in docs.groupby("text"):
+        ids = g["doc_id"].tolist()
+        assert len({cl[i] for i in ids}) == 1, \
+            f"exact dups split across simhash clusters: {ids}"
+    # cluster label is the min member id (the declared contract)
+    by_cluster: dict = {}
+    for d, c in cl.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, ids in by_cluster.items():
+        assert c == min(ids), f"cluster label {c} != min member {min(ids)}"
+
+
+def check_embedding_near_dup(got: pd.DataFrame, sf_dir: str) -> None:
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    ids = emb["vec_id"].to_numpy()
+    idx = {int(v): i for i, v in enumerate(ids)}
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    true_nn = {int(ids[i]): int(ids[j]) for i, j in enumerate(sims.argmax(1))}
+    # every reported sim must equal the true cosine of the reported pair
+    for v, d, s in zip(got["vec_id"], got["dup_of"], got["sim"]):
+        true = sims[idx[int(v)], idx[int(d)]]
+        assert abs(float(s) - true) < 1e-4, f"sim mismatch for ({v},{d})"
+    # LSH neighbor agrees with the TRUE nearest neighbor >= 85% of rows
+    agree = np.mean([true_nn[int(v)] == int(d)
+                     for v, d in zip(got["vec_id"], got["dup_of"])])
+    assert agree >= 0.85, f"LSH NN agreement {agree:.2f} < 0.85"
+
+
+def check_mm_decode(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.multimodal import DecodeImageStage, docs_to_fake_media
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    seq = DecodeImageStage(fake=True)(
+        docs_to_fake_media(docs.sort_values("doc_id").reset_index(drop=True)))
+    got = got.sort_values("media_id").reset_index(drop=True)
+    seq = seq.sort_values("media_id").reset_index(drop=True)
+    for col in ("width", "height", "mean_luma", "n_bytes", "kind"):
+        assert (got[col].to_numpy() == seq[col].to_numpy()).all(), \
+            f"distributed mm_decode {col} != sequential re-execution"
+
+
+def check_enrich_pages(got: pd.DataFrame, sf_dir: str) -> None:
+    """Sequential re-execution of the enrichment stage over the same
+    corpus pages (one pandas pass, no Ray)."""
+    import glob
+
+    import pyarrow as pa
+
+    from zeno_ray.corpus import corpus_dir_for_sf, sf_of_dir
+    from zeno_ray.pipelines import EnrichStage
+
+    cdir = corpus_dir_for_sf(sf_of_dir(sf_dir), "/tmp/rayzeno_corpus")
+    frames = [pd.read_parquet(p, columns=["url", "html", "status",
+                                          "content_type"])
+              for p in sorted(glob.glob(os.path.join(cdir, "pages/*.parquet")))]
+    pages = pd.concat(frames, ignore_index=True)
+    seq = EnrichStage()(pa.Table.from_pandas(pages)).to_pandas()
+    seq = seq.sort_values("url").reset_index(drop=True)
+    got = got.sort_values("url").reset_index(drop=True)
+    assert len(seq) == len(got), f"rows {len(got)} != sequential {len(seq)}"
+    for col in ("pred_lang", "n_tokens_ws", "fingerprint"):
+        assert (got[col].to_numpy() == seq[col].to_numpy()).all(), \
+            f"distributed enrich {col} != sequential re-execution"
+    assert np.allclose(got["quality"].to_numpy(), seq["quality"].to_numpy())
+
+
+PY_ORACLES = {
+    "doc_langid": check_doc_langid,
+    "doc_fingerprint": check_doc_fingerprint,
+    "dedup_minhash": check_dedup_minhash,
+    "dedup_simhash": check_dedup_simhash,
+    "embedding_near_dup": check_embedding_near_dup,
+    "mm_decode": check_mm_decode,
+    "enrich_pages": check_enrich_pages,
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -75,7 +227,16 @@ def main():
             print(f"ERROR  {name}: query raised {e}")
             continue
         if name not in oracles:
-            print(f"rows   {name}: {len(got)} rows (no oracle — rows-only)")
+            if name in PY_ORACLES:
+                try:
+                    PY_ORACLES[name](got, sf_dir)
+                    print(f"OK-py  {name}: {len(got)} rows "
+                          "(python oracle: sequential/semantic check)")
+                except AssertionError as e:
+                    failures.append((name, f"python oracle: {e}"))
+                    print(f"FAIL   {name}: python oracle: {e}")
+            else:
+                print(f"rows   {name}: {len(got)} rows (no oracle — rows-only)")
             continue
         try:
             want = normalize(con.sql(oracles[name]).df())
