@@ -165,6 +165,17 @@ def run_bench() -> dict:
     minhash_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
     queries["dedup_minhash"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.dedup import embedding_nn_lsh, simhash_groups
+
+    t = time.perf_counter()
+    simhash_groups(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+    queries["dedup_simhash"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    embedding_nn_lsh(rd.read_parquet(emb_path), threshold=0.0,
+                     n_planes=6, max_hamming=2).count()
+    queries["embedding_nn_lsh"] = round(time.perf_counter() - t, 3)
+
     t = time.perf_counter()
     pdf = rd.read_parquet(emb_path).to_pandas()
     q = np.stack(pdf.iloc[:3]["embedding"].to_numpy())
@@ -242,27 +253,38 @@ def run_scaling() -> dict:
         runs = [run_once(ncpu) for _ in range(n)]
         return min(runs, key=lambda r: r["queries"]["crawl"])
 
+    def measure_pair(lo_n: int, hi_n: int) -> dict:
+        hi = best_of(hi_n)
+        lo = best_of(lo_n)
+        t_lo = lo["queries"]["crawl"]
+        t_hi = hi["queries"]["crawl"]
+        eff = (t_lo / t_hi) / (hi_n / lo_n)
+        return {
+            "cpus_lo": lo_n,
+            "cpus_hi": hi_n,
+            f"crawl_sec_{lo_n}cpu": t_lo,
+            f"crawl_sec_{hi_n}cpu": t_hi,
+            f"pages_per_sec_{lo_n}cpu": lo["crawl"]["pages_per_sec"],
+            f"pages_per_sec_{hi_n}cpu": hi["crawl"]["pages_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }
+
     lo_n = int(os.environ.get("RAYZENO_SCALE_LO", "4"))
     hi_n = int(os.environ.get("RAYZENO_SCALE_HI", "16"))
-    hi = best_of(hi_n)
-    lo = best_of(lo_n)
-    t_lo = lo["queries"]["crawl"]
-    t_hi = hi["queries"]["crawl"]
-    eff = (t_lo / t_hi) / (hi_n / lo_n)
-    return {
+    out = {
         "sf": _sf(),
-        "cpus_lo": lo_n,
-        "cpus_hi": hi_n,
-        f"crawl_sec_{lo_n}cpu": t_lo,
-        f"crawl_sec_{hi_n}cpu": t_hi,
-        f"pages_per_sec_{lo_n}cpu": lo["crawl"]["pages_per_sec"],
-        f"pages_per_sec_{hi_n}cpu": hi["crawl"]["pages_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "protocol": f"min of 3 fresh-process runs per level (N={lo_n}, "
-                    f"4N={hi_n}), crawl only, sync+drain between runs, "
-                    "same pre-built corpus; levels chosen inside the "
-                    "host's linear-scaling envelope (see BASELINE.md)",
+        "protocol": f"min of 3 fresh-process runs per level, crawl only, "
+                    "sync+drain between runs, same pre-built corpus; the "
+                    f"official pair (N={lo_n}, 4N={hi_n}) sits inside the "
+                    "host's linear-scaling envelope (see BASELINE.md); the "
+                    "raw 8-vs-32 pair is reported alongside so the claim "
+                    "stays auditable against the hardware-probe ceiling",
+        **measure_pair(lo_n, hi_n),
     }
+    if os.environ.get("RAYZENO_SCALE_RAW", "1") != "0" and (lo_n, hi_n) != (8, 32):
+        raw = measure_pair(8, 32)
+        out["raw_8_32"] = raw
+    return out
 
 
 if __name__ == "__main__":

@@ -125,95 +125,113 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
 
     Scale shape — every stage is distributed except the union-find:
     signatures are computed ONCE (materialized intermediate, spillable);
-    band explode → ``groupby(band, band_hash)`` emits candidate pairs;
-    pairs dedupe across bands in a slim keyed shuffle; signatures attach
-    to pair sides via a ``groupby(doc_id)`` keyed shuffle (Ray Data has no
-    join — union + groupby IS the repartition join); Jaccard verification
-    runs per pair inside ``map_groups``. Only the VERIFIED edge list
-    (tiny in the LSH regime) and the (doc_id, cluster) product reach the
-    driver.
+    band explode → candidate pairs; signatures attach to pair sides via
+    two keyed shuffles (Ray Data has no join — union + groupby IS the
+    repartition join); signature-Jaccard verification is vectorized numpy.
+    Every shuffle keys on a COARSE hash partition (``n_parts`` groups ≈
+    a few per core, each key mapping to exactly one part), never on the
+    raw bucket/doc/pair key — ``map_groups`` over millions of tiny groups
+    pays Python overhead per key, the thing that cannot fly at 10^9 docs;
+    inside a part everything is a vectorized pandas groupby/merge. Only
+    the VERIFIED edge list (tiny in the LSH regime) and the
+    (doc_id, cluster) product reach the driver.
     """
+    import ray as _ray
+
+    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+        if _ray.is_initialized() else 64
     sigs = docs_ds.map_batches(
         MinHashStage, fn_constructor_kwargs={"n_perm": n_perm},
         batch_format="pandas", batch_size=1024, concurrency=4,
     ).materialize()  # consumed by both the band explode and the verify join
-    bands = sigs.map_batches(
-        lambda df: minhash_lsh_bands(df, n_bands=n_bands), batch_format="pandas"
-    )
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
+    def bands_with_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = minhash_lsh_bands(df, n_bands=n_bands)
+        # part is a pure function of the bucket key ⇒ a bucket's rows all
+        # land in one part
+        out["part"] = ((out["band_hash"]
+                        ^ (out["band"].to_numpy().astype(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15)))
+                       % np.uint64(n_parts)).astype("int64")
+        return out
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # only buckets with ≥2 docs can make pairs — filter vectorized
+        counts = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
+        g = g[counts >= 2]
+        if g.empty:
             return _PAIR_EMPTY
-        a, b = np.meshgrid(ids, ids)
-        m = a < b
-        return pd.DataFrame({"a": a[m], "b": b[m]})
-
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+        out_a, out_b = [], []
+        for _, gg in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(gg["doc_id"].to_numpy())
+            a, b = np.meshgrid(ids, ids)
+            m = a < b
+            out_a.append(a[m])
+            out_b.append(b[m])
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
 
     pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby(["a", "b"])  # dedupe pairs found in multiple bands
-        .map_groups(first_row, batch_format="pandas")
+        sigs.map_batches(bands_with_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
     )
 
-    # ---- repartition join: signatures onto pair sides, verify per pair ----
+    # ---- repartition join: signatures onto pair SIDES (part = key % n) --
     _zero_sig = np.zeros(0, dtype=np.uint64)
-
-    def need_rows(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        return pd.DataFrame({
-            "doc_id": np.concatenate([a, b]),
-            "pa": np.concatenate([a, a]),
-            "pb": np.concatenate([b, b]),
-            "minhash": [_zero_sig] * (2 * len(df)),
-        })
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "pa": np.int64(-1),
-            "pb": np.int64(-1),
-            "minhash": list(df["minhash"]),
+            "part": (df["doc_id"].to_numpy() % n_parts).astype("int64"),
+            "key": df["doc_id"], "a": np.int64(-1), "b": np.int64(-1),
+            "sig_a": [_zero_sig] * len(df), "sig": list(df["minhash"]),
         })
 
-    side_empty = pd.DataFrame({
-        "pa": pd.Series([], dtype="int64"), "pb": pd.Series([], dtype="int64"),
-        "minhash": pd.Series([], dtype="object"),
-    })
-
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        sig = g[g["pa"] < 0]
-        need = g[g["pa"] >= 0]
-        if sig.empty or need.empty:
-            return side_empty
-        sv = np.asarray(sig["minhash"].iloc[0], dtype=np.uint64)
+    def key_by_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "pa": need["pa"].to_numpy(), "pb": need["pb"].to_numpy(),
-            "minhash": [sv] * len(need),
+            "part": (df["a"].to_numpy() % n_parts).astype("int64"),
+            "key": df["a"], "a": df["a"], "b": df["b"],
+            "sig_a": [_zero_sig] * len(df), "sig": [_zero_sig] * len(df),
         })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["a"] < 0]
+        need = g[g["a"] >= 0]
+        if sig.empty or need.empty:
+            return g.iloc[:0]
+        sig_of = dict(zip(sig["key"], sig["sig"]))  # O(docs/part)
+        attached = need["key"].map(sig_of)
+        b = need["b"].to_numpy()
+        return pd.DataFrame({
+            "part": (b % n_parts).astype("int64"),
+            "key": b,  # rekey by side b for pass 2
+            "a": need["a"].to_numpy(), "b": b,
+            "sig_a": list(attached), "sig": [_zero_sig] * len(need),
+        })
+
+    def attach_b_and_verify(g: pd.DataFrame) -> pd.DataFrame:
+        sig = g[g["a"] < 0]
+        need = g[g["a"] >= 0]
+        if sig.empty or need.empty:
             return _PAIR_EMPTY
-        sa = np.asarray(g["minhash"].iloc[0], dtype=np.uint64)
-        sb = np.asarray(g["minhash"].iloc[1], dtype=np.uint64)
-        if len(sa) and len(sa) == len(sb) and (sa == sb).mean() >= jaccard_threshold:
-            return pd.DataFrame({"a": [int(g["pa"].iloc[0])],
-                                 "b": [int(g["pb"].iloc[0])]})
-        return _PAIR_EMPTY
+        sig_of = dict(zip(sig["key"], sig["sig"]))
+        sb = np.stack([np.asarray(sig_of[k], dtype=np.uint64)
+                       for k in need["key"]])
+        sa = np.stack([np.asarray(s, dtype=np.uint64) for s in need["sig_a"]])
+        ok = (sa == sb).mean(axis=1) >= jaccard_threshold
+        return pd.DataFrame({"a": need["a"].to_numpy()[ok],
+                             "b": need["b"].to_numpy()[ok]})
 
     edges = (
-        pairs.map_batches(need_rows, batch_format="pandas")
+        pairs.map_batches(key_by_a, batch_format="pandas")
         .union(sigs.map_batches(sig_rows, batch_format="pandas"))
-        .groupby("doc_id")
-        .map_groups(attach, batch_format="pandas")
-        .groupby(["pa", "pb"])
-        .map_groups(verify, batch_format="pandas")
+        .groupby("part")
+        .map_groups(attach_a, batch_format="pandas")
+        .union(sigs.map_batches(sig_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(attach_b_and_verify, batch_format="pandas")
         .to_pandas()  # VERIFIED edges only — tiny in the LSH regime
+        .drop_duplicates()
     )
     # greedy min-label union-find over the (small) verified pair graph
     parent: dict[int, int] = {}
@@ -262,6 +280,22 @@ class SimHashStage:
         return out
 
 
+def _min_label_components(k: int, ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+    """Connected components of an undirected edge list over nodes 0..k-1:
+    vectorized min-label propagation with pointer jumping — O(E) numpy
+    work per round, O(log·diameter) rounds; no scipy, no Python loop
+    over edges."""
+    labels = np.arange(k)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, ii, labels[jj])
+        np.minimum.at(nxt, jj, labels[ii])
+        nxt = nxt[nxt]  # pointer jumping
+        if (nxt == labels).all():
+            return labels
+        labels = nxt
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount over uint64 (numpy 1.x has no bitwise_count)."""
     v = np.ascontiguousarray(x, dtype=np.uint64)
@@ -287,41 +321,70 @@ def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
     sims = docs_ds.map_batches(SimHashStage, batch_format="pandas",
                                batch_size=1024, concurrency=4).materialize()
 
+    import ray as _ray
+
+    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+        if _ray.is_initialized() else 64
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy().astype(np.uint64)
         ids = df["doc_id"].to_numpy()
-        frames = [
-            pd.DataFrame({
-                "doc_id": ids, "band": b,
-                "band_val": (sh >> np.uint64(b * width)) & mask,
-                "simhash": sh,
-            })
-            for b in range(n_bands)
-        ]
+        frames = []
+        for b in range(n_bands):
+            val = (sh >> np.uint64(b * width)) & mask
+            frames.append(pd.DataFrame({
+                "doc_id": ids, "band": b, "band_val": val, "simhash": sh,
+                # coarse partition — a pure function of the bucket key, so
+                # a bucket's rows co-locate without a per-bucket group
+                "part": ((val ^ np.uint64((b * 0x9E3779B97F4A7C15) % (1 << 64)))
+                         % np.uint64(n_parts)).astype("int64"),
+            }))
         return pd.concat(frames, ignore_index=True)
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # emit a SPANNING FOREST of the verified near-dup graph, not every
+        # edge: degenerate corpora (many mutually-similar docs) make the
+        # full edge set O(bucket²); connectivity only needs O(bucket)
+        # edges, and the cross-part union-find composes forests exactly.
+        counts = g.groupby(["band", "band_val"])["doc_id"].transform("size")
+        g = g[counts >= 2]
+        if g.empty:
             return _PAIR_EMPTY
-        g = g.sort_values("doc_id", kind="stable")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        dist = _popcount64(hs[:, None] ^ hs[None, :])
-        ii, jj = np.nonzero(np.triu(dist <= max_hamming, k=1))
-        if not len(ii):
+        out_a, out_b = [], []
+        for _, gg in g.groupby(["band", "band_val"], sort=False):
+            ids = gg["doc_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            hs = gg["simhash"].to_numpy().astype(np.uint64)[order]
+            k = len(ids)
+            ii_all, jj_all = [], []
+            for i0 in range(0, k, 256):  # chunked: bound the (chunk,k,64)
+                chunk = hs[i0:i0 + 256]   # popcount expansion memory
+                dist = _popcount64(chunk[:, None] ^ hs[None, :])
+                ci, cj = np.nonzero(dist <= max_hamming)
+                keep = cj > (ci + i0)  # strict upper triangle, global index
+                ii_all.append(ci[keep] + i0)
+                jj_all.append(cj[keep])
+            ii = np.concatenate(ii_all) if ii_all else np.zeros(0, np.int64)
+            jj = np.concatenate(jj_all) if jj_all else np.zeros(0, np.int64)
+            if not len(ii):
+                continue
+            labels = _min_label_components(k, ii, jj)
+            member = np.nonzero(labels != np.arange(k))[0]
+            if len(member):
+                out_a.append(ids[labels[member]])
+                out_b.append(ids[member])
+        if not out_a:
             return _PAIR_EMPTY
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
-
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1]
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
     edges = (
         sims.map_batches(explode, batch_format="pandas")
-        .groupby(["band", "band_val"])
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-        .groupby(["a", "b"])  # dedupe pairs found in multiple bands
-        .map_groups(first_row, batch_format="pandas")
-        .to_pandas()  # verified edge list — tiny
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+        .to_pandas()  # verified edge list — tiny (cross-part dups dropped
+        .drop_duplicates()  # driver-side; union-find is idempotent anyway)
     )
     parent: dict[int, int] = {}
 
