@@ -449,21 +449,70 @@ def _q_crawl_budget_order(sf_dir: str):
     return out.sort_values(["url", "hop"]).reset_index(drop=True)
 
 
-def _q_mm_decode(sf_dir: str):
+def _media_ds(sf_dir: str):
     import ray.data as rd
 
-    from zeno_ray.ops.multimodal import DecodeImageStage, docs_to_fake_media
+    from zeno_ray.ops.multimodal import docs_to_media
 
-    _quiet()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    media = docs.map_batches(docs_to_fake_media, batch_format="pandas",
-                             batch_size=512)
-    pdf = media.map_batches(
-        DecodeImageStage, fn_constructor_kwargs={"fake": True},
-        batch_format="pandas", batch_size=64, concurrency=2,
-    ).to_pandas()
+    return docs.map_batches(docs_to_media, batch_format="pandas",
+                            batch_size=256)
+
+
+def _q_mm_decode(sf_dir: str):
+    """REAL image decode (PPM/BMP parsed with numpy — true dimensions,
+    true pixel luma, true nearest-neighbor resize) over the generated
+    media table's image rows."""
+    import pandas as pd
+
+    from zeno_ray.ops.multimodal import DecodeImageStage
+
+    _quiet()
+    pdf = (
+        _media_ds(sf_dir)
+        .map_batches(lambda df: df[df["kind"] == "image"],
+                     batch_format="pandas")
+        .map_batches(DecodeImageStage, fn_constructor_kwargs={"fake": False},
+                     batch_format="pandas", batch_size=64, concurrency=2)
+        .to_pandas()
+    )
     return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_mm_audio(sf_dir: str):
+    """REAL WAV PCM decode (stdlib wave + numpy — true sample counts,
+    durations, RMS) over the media table's audio rows."""
+    from zeno_ray.ops.multimodal import DecodeAudioStage
+
+    _quiet()
+    pdf = (
+        _media_ds(sf_dir)
+        .map_batches(lambda df: df[df["kind"] == "audio"],
+                     batch_format="pandas")
+        .map_batches(DecodeAudioStage, batch_format="pandas",
+                     batch_size=64, concurrency=2)
+        .to_pandas()
+    )
+    return pdf.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_mm_frames(sf_dir: str):
+    """REAL video frame sampling (concatenated-PPM container): every 4th
+    frame's true mean luma + pixel-content hash."""
+    from zeno_ray.ops.multimodal import FrameSampleStage
+
+    _quiet()
+    pdf = (
+        _media_ds(sf_dir)
+        .map_batches(lambda df: df[df["kind"] == "video"],
+                     batch_format="pandas")
+        .map_batches(FrameSampleStage,
+                     fn_constructor_kwargs={"every_n": 4},
+                     batch_format="pandas", batch_size=32, concurrency=2)
+        .to_pandas()
+    )
+    return pdf.sort_values(["media_id", "frame"]).reset_index(drop=True)
 
 
 def _round(df, col, n):
@@ -501,9 +550,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
-        # multimodal plumbing (deterministic fake decode)
         "crawl_budget_order": _q_crawl_budget_order,
+        # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib)
         "mm_decode": _q_mm_decode,
+        "mm_audio": _q_mm_audio,
+        "mm_frames": _q_mm_frames,
     }
 
 

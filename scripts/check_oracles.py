@@ -144,18 +144,55 @@ def check_embedding_near_dup(got: pd.DataFrame, sf_dir: str) -> None:
     assert agree >= 0.85, f"LSH NN agreement {agree:.2f} < 0.85"
 
 
-def check_mm_decode(got: pd.DataFrame, sf_dir: str) -> None:
-    from zeno_ray.ops.multimodal import DecodeImageStage, docs_to_fake_media
+def _media_table(sf_dir: str) -> pd.DataFrame:
+    from zeno_ray.ops.multimodal import docs_to_media
 
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    seq = DecodeImageStage(fake=True)(
-        docs_to_fake_media(docs.sort_values("doc_id").reset_index(drop=True)))
+    return docs_to_media(docs.sort_values("doc_id").reset_index(drop=True))
+
+
+def check_mm_decode(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.multimodal import DecodeImageStage
+
+    media = _media_table(sf_dir)
+    seq = DecodeImageStage(fake=False)(media[media["kind"] == "image"])
     got = got.sort_values("media_id").reset_index(drop=True)
     seq = seq.sort_values("media_id").reset_index(drop=True)
-    for col in ("width", "height", "mean_luma", "n_bytes", "kind"):
+    assert len(got) == len(seq), f"rows {len(got)} != sequential {len(seq)}"
+    for col in ("width", "height", "mean_luma", "resized_mean_luma",
+                "n_bytes", "kind"):
         assert (got[col].to_numpy() == seq[col].to_numpy()).all(), \
             f"distributed mm_decode {col} != sequential re-execution"
+
+
+def check_mm_audio(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.multimodal import DecodeAudioStage
+
+    media = _media_table(sf_dir)
+    seq = DecodeAudioStage()(media[media["kind"] == "audio"])
+    got = got.sort_values("media_id").reset_index(drop=True)
+    seq = seq.sort_values("media_id").reset_index(drop=True)
+    assert len(got) == len(seq), f"rows {len(got)} != sequential {len(seq)}"
+    for col in ("sample_rate", "n_samples", "duration_sec", "rms"):
+        assert (got[col].to_numpy() == seq[col].to_numpy()).all(), \
+            f"distributed mm_audio {col} != sequential re-execution"
+
+
+def check_mm_frames(got: pd.DataFrame, sf_dir: str) -> None:
+    from zeno_ray.ops.multimodal import FrameSampleStage
+
+    media = _media_table(sf_dir)
+    seq = FrameSampleStage(every_n=4)(media[media["kind"] == "video"])
+    got = got.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    seq = seq.sort_values(["media_id", "frame"]).reset_index(drop=True)
+    assert len(got) == len(seq), f"rows {len(got)} != sequential {len(seq)}"
+    for col in ("frame", "mean_luma", "feature_hash"):
+        a, b = got[col].to_numpy(), seq[col].to_numpy()
+        if col == "feature_hash":  # normalize() int64-casts; compare as u64
+            a, b = a.astype(np.uint64), b.astype(np.uint64)
+        assert (a == b).all(), \
+            f"distributed mm_frames {col} != sequential re-execution"
 
 
 def check_enrich_pages(got: pd.DataFrame, sf_dir: str) -> None:
@@ -190,6 +227,8 @@ PY_ORACLES = {
     "dedup_simhash": check_dedup_simhash,
     "embedding_near_dup": check_embedding_near_dup,
     "mm_decode": check_mm_decode,
+    "mm_audio": check_mm_audio,
+    "mm_frames": check_mm_frames,
     "enrich_pages": check_enrich_pages,
 }
 

@@ -274,6 +274,75 @@ def test_fingerprint_deterministic(docs_ds):
     assert fp[0] == fp[100]
 
 
+def test_real_image_decode_known_pixels():
+    """PPM and BMP decoders recover exact dimensions and true pixel
+    statistics from hand-built images."""
+    import struct
+
+    from zeno_ray.ops.multimodal import (
+        DecodeImageStage, decode_bmp, decode_ppm, resize_nearest)
+
+    # 2x2 PPM: white, black, red, blue
+    pix = np.array([[[255, 255, 255], [0, 0, 0]],
+                    [[255, 0, 0], [0, 0, 255]]], dtype=np.uint8)
+    ppm = b"P6\n2 2\n255\n" + pix.tobytes()
+    w, h, got, consumed = decode_ppm(ppm)
+    assert (w, h) == (2, 2) and consumed == len(ppm)
+    assert (got == pix).all()
+    stage = DecodeImageStage(fake=False, target=(4, 4))
+    wd, ht, luma, rluma = stage.decode(ppm)
+    want_luma = (1.0 + 0.0 + 0.299 + 0.114) / 4
+    assert abs(luma - want_luma) < 1e-4
+    r = resize_nearest(pix, (4, 4))
+    assert r.shape == (4, 4, 3) and (r[0, 0] == [255, 255, 255]).all()
+
+    # BMP round-trip through the generator
+    from zeno_ray.ops.multimodal import make_bmp
+
+    bmp = make_bmp("seed text")
+    w, h, pixels, _ = decode_bmp(bmp)
+    assert pixels.shape == (h, w, 3)
+    wd, ht, luma, _ = stage.decode(bmp)
+    assert (wd, ht) == (w, h) and 0.0 <= luma <= 1.0
+
+
+def test_real_audio_decode_wav():
+    from zeno_ray.ops.multimodal import DecodeAudioStage, make_wav
+
+    wav = make_wav("some text")
+    sr, n, dur, rms = DecodeAudioStage().decode(wav)
+    assert sr == 8000 and n > 0
+    assert abs(dur - n / sr) < 1e-6
+    # 0.5-amplitude sine + small noise → rms near 0.5/sqrt(2)
+    assert 0.25 < rms < 0.45
+
+
+def test_real_video_frame_sampling():
+    from zeno_ray.ops.multimodal import FrameSampleStage, make_ppm_video
+
+    video = make_ppm_video("vid", n_frames=12)
+    out = FrameSampleStage(every_n=4)(pd.DataFrame(
+        {"media_id": [7], "payload": [video]}))
+    assert list(out["frame"]) == [0, 4, 8]
+    assert (out["media_id"] == 7).all()
+    assert ((out["mean_luma"] > 0) & (out["mean_luma"] < 1)).all()
+
+
+def test_docs_to_media_real_kinds(docs_ds):
+    from zeno_ray.ops.multimodal import (
+        DecodeAudioStage, DecodeImageStage, docs_to_media)
+
+    media = docs_ds.map_batches(docs_to_media, batch_format="pandas",
+                                batch_size=32).to_pandas()
+    assert set(media["kind"]) == {"image", "audio", "video"}
+    imgs = media[media["kind"] == "image"]
+    dec = DecodeImageStage(fake=False)(imgs)
+    assert (dec["width"] >= 8).all() and (dec["height"] >= 8).all()
+    aud = media[media["kind"] == "audio"]
+    adec = DecodeAudioStage()(aud)
+    assert (adec["sample_rate"] == 8000).all()
+
+
 def test_multimodal_stub_raises_without_fake(docs_ds):
     from zeno_ray.ops.multimodal import DecodeImageStage, docs_to_fake_media
 
