@@ -11,6 +11,18 @@ Scale design: membership state is an in-memory hash set per shard (~40 B/URL
 256 nodes); a bloom fast-path in front of the exact set (``bloom_bits``)
 short-circuits the common miss case. Shards checkpoint to one sorted-uint64
 Parquet per shard per epoch and restore exactly.
+
+Retry semantics (SINGLE-ATTEMPT ASSUMPTION): ``check_and_add`` mutates
+shard state, so a Ray task retried AFTER its shard RPC committed would see
+its own hashes as already-seen and silently drop those rows. The crawl
+accepts this single-attempt model — the same admission-then-crash window
+the reference has between its seencheck insert and the WARC write
+(``seencheck.go:50-62``) — because the epoch checkpoint/resume path
+(rerun-from-last-marker with a restored seen snapshot) is the recovery
+mechanism for worker loss, not Ray task retries: a retry-visible loss is
+bounded by one epoch and repaired by resuming that epoch. Deployments that
+want mid-epoch task retries must key admission by (epoch, batch id) so a
+retried batch replays its original admission mask.
 """
 
 from __future__ import annotations
