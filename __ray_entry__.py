@@ -225,6 +225,35 @@ def _q_doc_quality(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_quality_filter(sf_dir: str):
+    """Quality-gated corpus selection — the training-data filter stage:
+    keep docs with composite quality ≥ 0.895 (splits the corpus roughly in half); returns (doc_id, quality).
+    Fully streaming map_batches + filter; SQL-oracle-checked because the
+    score formula is closed-form."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import quality_features
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def score_and_filter(df):
+        out = quality_features(df)[["doc_id", "quality"]].copy()
+        # round half-AWAY to 4 places BEFORE the threshold: DuckDB's
+        # round() is half-away while numpy's is half-even, and the gate
+        # must match the SQL oracle's rounded comparison exactly
+        import numpy as np
+
+        out["quality"] = np.floor(out["quality"] * 10000 + 0.5) / 10000
+        return out[out["quality"] >= 0.895]
+
+    pdf = docs.map_batches(score_and_filter, batch_format="pandas",
+                           batch_size=4096).to_pandas()
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_doc_lang_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -535,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (driver tables)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_quality": _q_doc_quality,
+        "doc_quality_filter": _q_doc_quality_filter,
         "doc_lang_stats": _q_doc_lang_stats,
         "doc_token_totals": _q_doc_token_totals,
         "ann_topk": _q_ann_topk,
@@ -623,6 +653,26 @@ def oracle_sql() -> dict[str, str]:
                length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
                length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
         FROM documents ORDER BY doc_id""",
+        "doc_quality_filter": """
+        WITH q AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   round(LEAST(GREATEST(
+                       1.0
+                       - (LEAST(GREATEST(
+                             (n_chars - (n_tokens - 1))
+                             / CAST(GREATEST(n_tokens, 1) AS DOUBLE),
+                             2.0), 14.0) - 2.0) / 24.0
+                       - LEAST(n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE),
+                               0.5),
+                   0.0), 1.0), 4) AS quality
+            FROM q)
+        SELECT doc_id, quality FROM s WHERE quality >= 0.895 ORDER BY doc_id""",
         "doc_lang_stats": """
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang""",
