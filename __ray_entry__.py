@@ -4,12 +4,15 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents. Crawl-family oracles read
-the deterministic corpus Parquet that the matching query materializes under
-/tmp/rayzeno_corpus/sf0.01 (same seeded generator, so the SQL and the Ray
-pipeline see identical inputs); ops without a SQL equivalent (minhash,
-simhash, language-ID, ANN with float scores, multimodal stubs) are
-rows-only by design.
+``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 29 queries).
+Crawl-family oracles read the deterministic corpus Parquet that the
+matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
+generator, so the SQL and the Ray pipeline see identical inputs). Queries
+without a SQL equivalent (minhash/simhash/embedding near-dup, language-ID,
+fingerprint, multimodal, enrich) carry driver-independent python oracles
+in scripts/check_oracles.py (sequential re-execution / semantic ground
+truth); only ``crawl_budget_order`` is rows-only — the sequential rotation
+contract, verified against the simulator in pytest instead.
 
 Ray is initialised by the driver — nothing here calls ray.init/shutdown.
 """
@@ -177,8 +180,9 @@ def _q_extract_text(sf_dir: str):
 
 
 def _q_enrich_pages(sf_dir: str):
-    """Rows-only: deterministic per-page enrichment (lang/quality/tokens/
-    fingerprint) over the crawl corpus — the crawl→training-data handoff."""
+    """Deterministic per-page enrichment (lang/quality/tokens/fingerprint)
+    over the crawl corpus — the crawl→training-data handoff; verified by
+    sequential re-execution in scripts/check_oracles.py."""
     from zeno_ray.pipelines import enrich_pages
 
     _, cdir, _ = _corpus(sf_dir)
