@@ -113,3 +113,102 @@ def test_hash64_stable():
     assert h == urlnorm.hash64("https://h.example/p")
     assert 0 <= h < 2**64
     assert urlnorm.hash64_batch(["a", "b"]) == [urlnorm.hash64("a"), urlnorm.hash64("b")]
+
+
+# ------------------------------------------------- fast-path equivalence
+
+
+def test_make_absolute_fast_path_matches_urljoin():
+    from urllib.parse import urljoin
+
+    from zeno_ray.urlnorm import make_absolute
+
+    cases = [
+        "https://host.example/a/b", "http://h.example/",
+        "https://h.example/a%20b/c", "https://h.example/a/../b",
+        "https://h.example/./x", "https://h.example/a/.", "//h.example/x",
+        "/relative/path", "relative.html", "?q=1", "https://h.example",
+        "https://h.example/a?q=1#f", "ftp://h.example/x",
+        "https://h.example/trailing/", "https://h.example/a/b/../../c/d",
+    ]
+    base = "https://base.example/dir/page.html"
+    for u in cases:
+        assert make_absolute(base, u) == urljoin(base, u), u
+
+
+def test_canonical_fast_path_is_identity_of_canonicalize():
+    """Every URL the _CANON_FAST regex accepts must be a fixed point of the
+    full canonicalizer AND valid; URLs it rejects go down the slow path
+    anyway, so only acceptance needs proving."""
+    from zeno_ray.urlnorm import _CANON_FAST, canonicalize, is_valid_url
+
+    accept = [
+        "https://host0001.example/page/3",
+        "http://h.example/",
+        "https://h.example",
+        "https://h.example:8080/a/b.c_d~e",
+        "https://h.example/a%20b/c",          # existing escapes preserved
+        "https://h.example/a!$&'()*+,;=:@/b",  # full literal-keep charset
+        "https://sub.h-2.example/x/y/z/",
+    ]
+    for u in accept:
+        assert _CANON_FAST.match(u), u
+        assert canonicalize(u) == u, u
+        assert is_valid_url(u), u
+    reject = [
+        "HTTPS://h.example/x",     # scheme case → slow path lowercases
+        "https://h.example/x?q=1",  # query re-encode
+        "https://h.example/x#f",
+        "https://héh.example/x",    # IDNA host
+        "https://h.example/ä",      # path needs escaping
+        "https://user@h.example/x",  # userinfo strip
+        "https://h.example/a b",    # space needs escaping
+        "ftp://h.example/x",
+        "https://.../x",            # no alnum in host
+    ]
+    for u in reject:
+        assert not _CANON_FAST.match(u), u
+
+
+def test_canonical_fast_path_fuzz_equivalence():
+    """Randomized cross-check: for fuzzed URL-ish strings, clean_urls'
+    fast path never changes the output vs the pure slow path."""
+    import random
+
+    from zeno_ray.urlnorm import _CANON_FAST, canonicalize, clean_urls, is_valid_url
+
+    rng = random.Random(99)
+    alphabet = list("abcXYZ019-._~!$&'()*+,;=:@/%?#äé ")
+    urls = []
+    for _ in range(3000):
+        n = rng.randint(0, 18)
+        path = "".join(rng.choice(alphabet) for _ in range(n))
+        host = rng.choice(["h.example", "H-2.example", "héh.example",
+                           "h.example:8080", "..."])
+        scheme = rng.choice(["https", "http", "HTTPS", "ftp"])
+        urls.append(f"{scheme}://{host}/{path}")
+
+    def slow_clean(base, us):
+        seen, out = set(), []
+        for u in us:
+            u = u if u.startswith(("http://", "https://")) else u
+            from zeno_ray.urlnorm import make_absolute, strip_fragment
+
+            if base is not None:
+                u = make_absolute(base, u)
+            u = strip_fragment(u)
+            c = canonicalize(u)
+            if c is None or c in seen:
+                continue
+            seen.add(c)
+            if not is_valid_url(c):
+                continue
+            out.append(c)
+        return out
+
+    base = "https://base.example/d/p.html"
+    assert clean_urls(base, urls) == slow_clean(base, urls)
+    # and specifically: every fast-accepted url is a canonicalize fixpoint
+    for u in urls:
+        if _CANON_FAST.match(u):
+            assert canonicalize(u) == u and is_valid_url(u), u

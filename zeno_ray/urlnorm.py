@@ -151,7 +151,16 @@ def is_valid_url(url: str) -> bool:
 
 
 def make_absolute(base: str, url: str) -> str:
-    """Resolve *url* against *base* (utils/url.go:78-86)."""
+    """Resolve *url* against *base* (utils/url.go:78-86).
+
+    Fast path: an already-absolute http(s) URL with no dot-segments is
+    returned as-is — ``urljoin`` would only apply remove_dot_segments,
+    which is a no-op then (the ``"/."`` guard conservatively sends any
+    candidate dot-segment through the slow path). Equivalence is
+    property-tested against ``urljoin`` in test_urlnorm."""
+    if (url.startswith("http://") or url.startswith("https://")) \
+            and "/." not in url:
+        return url
     return urljoin(base, url)
 
 
@@ -199,6 +208,19 @@ def hash64_batch(urls) -> "list[int]":
     ]
 
 
+# Fast-path shape for which canonicalize() is provably the identity AND
+# is_valid_url() is True: lowercase http(s) scheme, ASCII host (≥1
+# alnum; encode_host only rewrites non-ASCII, and canonicalize preserves
+# host case), optional :port, no query/fragment, path containing only the
+# characters _encode_path keeps literal (incl. '%': existing escapes are
+# preserved). Everything else takes the full canonicalizer. Equivalence is
+# property-tested in test_urlnorm.
+_CANON_FAST = re.compile(
+    r"^https?://[A-Za-z0-9.\-]*[A-Za-z0-9][A-Za-z0-9.\-]*(:[0-9]+)?"
+    r"(/[A-Za-z0-9\-._~!$&'()*+,;=:@/%]*)?$"
+)
+
+
 def clean_urls(
     base: str | None,
     urls: list[str],
@@ -209,16 +231,23 @@ def clean_urls(
     (crawl/assets.go:459-474) + DedupeURLs (utils/url.go:97-112)."""
     seen: set[str] = set()
     out: list[str] = []
+    fast = _CANON_FAST.match
     for u in urls:
         if base is not None:
             u = make_absolute(base, u)
         u = strip_fragment(u)
-        c = canonicalize(u)
-        if c is None or c in seen:
-            continue
-        seen.add(c)
-        if not is_valid_url(c):
-            continue
+        if fast(u):
+            c = u  # canonical + valid http(s) by construction
+            if c in seen:
+                continue
+            seen.add(c)
+        else:
+            c = canonicalize(u)
+            if c is None or c in seen:
+                continue
+            seen.add(c)
+            if not is_valid_url(c):
+                continue
         if is_excluded is not None and is_excluded(c):
             continue
         out.append(c)
