@@ -327,6 +327,32 @@ def _q_ann_topk(sf_dir: str):
     return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-k (k-means coarse quantizer, nprobe=12 of 16
+    lists) for the same three queries as ann_topk; python-oracled for
+    recall ≥ 0.9 vs the brute-force truth. The synthetic embeddings are
+    UNIFORM random (no cluster structure), the worst case for IVF —
+    hence the high nprobe; clustered real-world embeddings recall well
+    at nprobe ≈ n_lists/8 (see test_ivf_topk_recall)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zeno_ray.ops.ann import ivf_topk
+
+    _quiet()
+    pdf = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    queries = np.stack(
+        pdf[pdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")["embedding"].to_numpy()
+    )
+    out = ivf_topk(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        queries, k=10, n_lists=16, nprobe=12,
+    )[["q", "vec_id", "sim"]]
+    out["q"] = out["q"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
+
+
 def _q_dedup_minhash(sf_dir: str):
     import ray.data as rd
 
@@ -572,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_stats": _q_doc_lang_stats,
         "doc_token_totals": _q_doc_token_totals,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "doc_langid": _q_doc_langid,

@@ -199,6 +199,29 @@ def test_lsh_topk_recall(emb_ds):
     assert hits >= 14  # recall@5 ≥ 0.93 vs brute force
 
 
+def test_ivf_topk_recall(emb_ds):
+    from zeno_ray.ops.ann import brute_force_topk, ivf_topk
+
+    ds, mat = emb_ds
+    q = mat[:3].astype(np.float64)
+    exact = brute_force_topk(ds, q, k=5)
+    # modest probing already recalls well; full probing is exact
+    approx = ivf_topk(ds, q, k=5, n_lists=8, nprobe=4)
+    hits = sum(
+        len(set(exact[exact["q"] == qi]["vec_id"])
+            & set(approx[approx["q"] == qi]["vec_id"]))
+        for qi in range(3)
+    )
+    assert hits >= 12  # recall@5 ≥ 0.8 at nprobe=half the lists
+    full = ivf_topk(ds, q, k=5, n_lists=8, nprobe=8)
+    hits = sum(
+        len(set(exact[exact["q"] == qi]["vec_id"])
+            & set(full[full["q"] == qi]["vec_id"]))
+        for qi in range(3)
+    )
+    assert hits == 15  # nprobe = n_lists ⇒ exact (up to ties)
+
+
 def test_embedding_nn_lsh_matches_brute_force(emb_ds):
     """The LSH nearest-neighbor join (the query path) agrees with the
     broadcast brute-force verifier on ≥90% of vectors."""

@@ -6,6 +6,10 @@
 - :func:`lsh_topk` — random-hyperplane LSH bucketing: probe only buckets
   matching the query signature (multi-probe by hamming distance), the
   10^9-row scale path; recall/probe tradeoff documented in the docstring.
+- :func:`ivf_topk` — IVF (inverted-file) index: k-means coarse quantizer
+  trained on a bounded sample, rows partitioned by nearest centroid in a
+  single keyed shuffle, queries probe only their ``nprobe`` nearest
+  lists. The data-adaptive scale path (LSH's data-oblivious counterpart).
 """
 
 from __future__ import annotations
@@ -152,6 +156,111 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         bucketed.groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
         .to_pandas()  # ≤ n_q × (n_planes+1) × k rows — the reduced result
+    )
+    if partials.empty:
+        return empty
+    out = (
+        partials.sort_values(["q", "sim", "vec_id"],
+                             ascending=[True, False, True], kind="stable")
+        .groupby("q", sort=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["sim"] = out["sim"].round(6)
+    return out
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def kmeans_fit(sample: np.ndarray, n_lists: int, n_iter: int = 10,
+               seed: int = 13) -> np.ndarray:
+    """Spherical k-means on a (normalized) sample — the IVF coarse
+    quantizer. Deterministic (seeded init), numpy-only, runs driver-side
+    on a BOUNDED sample (the standard IVF training regime: train on
+    ~100×n_lists vectors regardless of corpus size)."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    cents = x[rng.choice(n, size=min(n_lists, n), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, train_sample: int = 2048,
+             seed: int = 13) -> pd.DataFrame:
+    """Approximate cosine top-k via an IVF index, Ray-Data-shaped:
+
+    1. train: spherical k-means on a bounded ``train_sample`` (driver,
+       numpy) — centroids are tiny and ``ray.put`` broadcast;
+    2. assign: one ``map_batches`` pass tags each row with its nearest
+       centroid (one matmul per batch);
+    3. probe: each query scores only its ``nprobe`` nearest lists —
+       ``groupby("list")`` co-locates each list ONCE, each group scores
+       the queries probing it (tiny probe map broadcast) and emits local
+       top-k partials; the driver reduces ≤ n_q × nprobe × k slim rows.
+
+    The dataset is never materialized; recall rises with nprobe
+    (nprobe = n_lists ⇒ exact up to ties)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sample = emb_ds.limit(train_sample).to_pandas()  # bounded by design
+    cents = kmeans_fit(np.stack(sample["embedding"].to_numpy()),
+                       n_lists, seed=seed)
+    cents_ref = ray.put(cents)
+
+    probe_lists = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for li in lists:
+            probe_map.setdefault(int(li), []).append(qi)
+    probe_ref = ray.put((probe_map, q))
+
+    class _Assign:
+        def __init__(self, cents_ref):
+            self.cents = ray.get(cents_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            out = batch[["vec_id", "embedding"]].copy()
+            out["list"] = (mat @ self.cents.T).argmax(axis=1).astype("int64")
+            return out
+
+    assigned = emb_ds.map_batches(
+        _Assign, fn_constructor_kwargs={"cents_ref": cents_ref},
+        batch_format="pandas", batch_size=4096, concurrency=4,
+    )
+
+    empty = pd.DataFrame({"q": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "sim": pd.Series([], dtype="float64")})
+
+    def score_list(g: pd.DataFrame) -> pd.DataFrame:
+        pmap, qmat = ray.get(probe_ref)
+        qis = pmap.get(int(g["list"].iloc[0]), [])
+        if not qis:
+            return empty
+        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        sims = mat @ qmat[qis].T
+        ids = g["vec_id"].to_numpy()
+        frames = []
+        for col, qi in enumerate(qis):
+            top = np.argsort(-sims[:, col], kind="stable")[:k]
+            frames.append(pd.DataFrame({
+                "q": qi, "vec_id": ids[top], "sim": sims[top, col]}))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = (
+        assigned.groupby("list")
+        .map_groups(score_list, batch_format="pandas")
+        .to_pandas()  # ≤ n_q × nprobe × k rows — the reduced result
     )
     if partials.empty:
         return empty
