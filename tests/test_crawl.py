@@ -322,3 +322,49 @@ def test_robots_disallowed_seed_skipped(tmp_path):
     sim = simulate_crawl(spec, cfg, seeds=seeds)
     got = set(pages[(pages["type"] == "seed") & (pages["status"] != 301)]["url"])
     assert got == set(sim.crawled_pages)
+
+
+def test_partitioned_enrichment_resumes(tmp_path, ray_session):
+    """Resumable partitioned output (zeno_ray.sinks): a crashed run's torn
+    partition is replaced, sealed partitions are skipped, and the resumed
+    output equals the full pipeline's."""
+    import shutil
+
+    from zeno_ray.corpus import CorpusSpec, ensure_corpus
+    from zeno_ray.pipelines import enrich_pages, enrich_pages_partitioned
+    from zeno_ray.sinks import finished_partitions, partitioned_dataset
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_hosts=4, pages_per_host=10)
+    cdir0 = ensure_corpus(spec, str(tmp_path / "corpus0"))
+    # re-shard the pages table into 4 files so the partitioner (one input
+    # shard per partition) actually fans out
+    cdir = str(tmp_path / "corpus")
+    os.makedirs(os.path.join(cdir, "pages"))
+    t = pq.read_table(os.path.join(cdir0, "pages"))
+    step = (t.num_rows + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step),
+                       os.path.join(cdir, "pages", f"part-{i}.parquet"))
+    out = str(tmp_path / "enriched")
+    rep = enrich_pages_partitioned(cdir, out, n_partitions=4)
+    assert sorted(rep["written"]) == ["0", "1", "2", "3"]
+
+    # crash simulation: partition 1 torn (no marker, stale tmp), 2 unsealed
+    os.remove(os.path.join(out, "part=1._SUCCESS"))
+    shutil.copytree(os.path.join(out, "part=1"),
+                    os.path.join(out, "part=1.tmp"))
+    os.remove(os.path.join(out, "part=2._SUCCESS"))
+
+    rep2 = enrich_pages_partitioned(cdir, out, n_partitions=4)
+    assert sorted(rep2["written"]) == ["1", "2"]
+    assert sorted(rep2["skipped"]) == ["0", "3"]
+    assert finished_partitions(out) == ["0", "1", "2", "3"]
+
+    got = partitioned_dataset(out).to_pandas()
+    assert "part" in got.columns  # hive partition key surfaces on read
+    got = got.drop(columns=["part"]).sort_values("url").reset_index(drop=True)
+    want = enrich_pages(cdir).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got.equals(want)
+    assert got["url"].duplicated().sum() == 0

@@ -59,7 +59,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
 
     scored = emb_ds.map_batches(
         _BruteScore, fn_constructor_kwargs={"q_ref": q_ref},
-        batch_format="pandas", batch_size=4096, concurrency=4,
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
     ).map_batches(local_topk, batch_format="pandas")
     pdf = scored.to_pandas()
     out = (
@@ -130,7 +130,7 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
     bucketed = emb_ds.map_batches(
         _LshBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
-        batch_format="pandas", batch_size=4096, concurrency=4,
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
     )
 
     empty = pd.DataFrame({"q": pd.Series([], dtype="int64"),
@@ -235,7 +235,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 
     assigned = emb_ds.map_batches(
         _Assign, fn_constructor_kwargs={"cents_ref": cents_ref},
-        batch_format="pandas", batch_size=4096, concurrency=4,
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
     )
 
     empty = pd.DataFrame({"q": pd.Series([], dtype="int64"),

@@ -142,7 +142,7 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
         if _ray.is_initialized() else 64
     sigs = docs_ds.map_batches(
         MinHashStage, fn_constructor_kwargs={"n_perm": n_perm},
-        batch_format="pandas", batch_size=1024, concurrency=4,
+        batch_format="pandas", batch_size=1024, concurrency=(1, 4),
     ).materialize()  # consumed by both the band explode and the verify join
 
     def bands_with_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -319,7 +319,7 @@ def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
     sims = docs_ds.map_batches(SimHashStage, batch_format="pandas",
-                               batch_size=1024, concurrency=4).materialize()
+                               batch_size=1024, concurrency=(1, 4)).materialize()
 
     import ray as _ray
 
@@ -457,7 +457,7 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
 
     return emb_ds.map_batches(
         NearDup, fn_constructor_kwargs={"ref": mat_ref, "thr": threshold},
-        batch_format="pandas", batch_size=512, concurrency=4,
+        batch_format="pandas", batch_size=512, concurrency=(1, 4),
     )
 
 
@@ -507,7 +507,7 @@ def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
 
     bucketed = emb_ds.map_batches(
         _MultiProbeBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
-        batch_format="pandas", batch_size=4096, concurrency=4,
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
     )
 
     empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
@@ -570,7 +570,7 @@ def embedding_near_dup_lsh(emb_ds, threshold: float = 0.95, n_planes: int = 8,
 
     bucketed = emb_ds.map_batches(
         _LshBucket, fn_constructor_kwargs={"planes_ref": planes_ref},
-        batch_format="pandas", batch_size=4096, concurrency=4,
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4),
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -149,8 +149,39 @@ def enrich_pages(corpus_dir: str, concurrency: int = 4):
     ds = read_pages(corpus_dir, columns=["url", "html", "status", "content_type"])
     return ds.map_batches(
         EnrichStage, batch_format="pyarrow", batch_size=256,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
+
+
+def enrich_pages_partitioned(corpus_dir: str, out_dir: str,
+                             n_partitions: int = 8, resume: bool = True,
+                             concurrency: int = 4) -> dict:
+    """Resumable partitioned enrichment: the input page files are split
+    into *n_partitions* shards, each enriched and committed as its own
+    sealed ``part=<i>/`` directory (tmp+rename+_SUCCESS, zeno_ray.sinks)
+    — a failed run reruns only unsealed partitions. Returns the
+    written/skipped report; read back with ``sinks.partitioned_dataset``."""
+    import glob
+
+    from zeno_ray.sinks import write_partitioned
+
+    files = sorted(glob.glob(os.path.join(corpus_dir, "pages/*.parquet")))
+    n_eff = max(1, min(n_partitions, len(files)))  # one input shard per
+    # partition minimum — empty partitions would read_parquet([])
+
+    def make(key: str):
+        shard = files[int(key)::n_eff]
+        ds = rd.read_parquet(
+            shard, columns=["url", "html", "status", "content_type"])
+        # autoscaling pool (1, N): a FIXED pool of N can reserve every
+        # CPU on a small cluster and starve the read/write tasks feeding
+        # it (observed as a livelock at num_cpus=4)
+        return ds.map_batches(EnrichStage, batch_format="pyarrow",
+                              batch_size=256,
+                              concurrency=(1, concurrency))
+
+    return write_partitioned(
+        make, out_dir, [str(i) for i in range(n_eff)], resume=resume)
 
 
 def host_stats(corpus_dir: str):
