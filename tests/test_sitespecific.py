@@ -193,3 +193,64 @@ def test_post_fetch_plugin_e2e_metadata_and_companions(tmp_path):
     assert len(meta) > 0
     rec = json.loads(meta.iloc[0]["metadata"])
     assert rec["page"].endswith("/page/1")
+
+
+# -------------------------------------------------- cloudflarestream DASH
+
+
+def test_mpd_duration_parser():
+    # cloudflarestream.go:418-453's walk, quirks included
+    assert ss.parse_mpd_duration("PT1M30.5S") == 91
+    assert ss.parse_mpd_duration("P1DT2H") == 93600
+    assert ss.parse_mpd_duration("PT10S") == 10
+    assert ss.parse_mpd_duration("PT2M") == 120
+
+
+MPD_FIXTURE = b"""<?xml version="1.0" encoding="utf-8"?>
+<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static"
+     mediaPresentationDuration="PT10S" minBufferTime="PT2S">
+  <Period id="0">
+    <AdaptationSet id="0" mimeType="video/mp4">
+      <Representation id="v1" bandwidth="800000" width="640" height="360">
+        <SegmentTemplate duration="2000" timescale="1000"
+            initialization="../../v1/init.mp4"
+            media="../../v1/seg_$Number$.mp4" startNumber="1"/>
+      </Representation>
+    </AdaptationSet>
+    <AdaptationSet id="1" mimeType="audio/mp4">
+      <Representation id="a1" bandwidth="128000">
+        <SegmentTemplate duration="5000" timescale="1000"
+            initialization="../../a1/init.mp4"
+            media="../../a1/seg_$Number$.mp4" startNumber="1"/>
+      </Representation>
+    </AdaptationSet>
+  </Period>
+</MPD>"""
+
+
+def test_cloudflarestream_mpd_url_and_segments():
+    watch = "https://watch.cloudflarestream.com/abc123/watch"
+    assert ss.cloudflarestream_mpd_url(watch) == (
+        "https://watch.cloudflarestream.com/abc123/manifest/video.mpd"
+        "?parentOrigin=https://watch.cloudflarestream.com")
+    assert ss.cloudflarestream_mpd_url("https://x.example/nope") is None
+
+    urls = ss.cloudflarestream_segments(watch, MPD_FIXTURE)
+    host = "https://watch.cloudflarestream.com"
+    # video: init + ceil(10*1000/2000)=5 segments; audio: init + 2
+    assert urls[0] == f"{host}/v1/init.mp4"
+    assert urls[1:6] == [f"{host}/v1/seg_{i}.mp4" for i in range(1, 6)]
+    assert f"{host}/a1/init.mp4" in urls
+    assert f"{host}/a1/seg_2.mp4" in urls
+    assert len(urls) == 1 + 5 + 1 + 2
+
+
+def test_cloudflarestream_hooks_in_registry():
+    reg = ss.default_registry()
+    act = reg.apply_pre_fetch("https://watch.cloudflarestream.com/abc/watch")
+    assert act.companions and act.companions[0].endswith(
+        "?parentOrigin=https://watch.cloudflarestream.com")
+    res = reg.apply_post_fetch(
+        "https://watch.cloudflarestream.com/abc/manifest/video.mpd",
+        MPD_FIXTURE, "application/dash+xml")
+    assert res is not None and len(res.assets) == 9 and res.consume

@@ -3,12 +3,22 @@
 Scale shapes (ray_guide + MinHash/LSH literature, Broder 1997):
 - exact: vectorized content-hash column → groupby(hash) keep-first — ONE
   all-to-all over (hash, doc_id) pairs only, never the text;
-- MinHash+LSH: per-batch shingle→minhash signatures (numpy), explode to
-  (band, band_hash) rows, groupby bands → candidate pairs, verify Jaccard,
-  greedy min-label clustering (candidate graph is tiny relative to input);
-- SimHash: 64-bit hyperplane-free simhash over token hashes; near-dup =
-  identical simhash bucket (hamming-0 fast path) — bucketed groupby;
-- n-gram Jaccard verify + embedding-cosine near-dup live here too.
+- MinHash+LSH: per-batch shingle→minhash signatures (numpy), band explode,
+  coarse-partition keyed shuffles for candidate pairs and the signature
+  repartition join, vectorized signature-Jaccard verify, driver union-find
+  over verified edges only;
+- SimHash: 64-bit simhash over token hashes, 4×16-bit band buckets
+  (pigeonhole covers hamming ≤ 3), in-bucket vectorized popcount verify,
+  spanning-forest edge emission per bucket;
+- embedding near-dup: multi-probe LSH nearest-neighbor join (keyed
+  shuffle; the broadcast-matrix variant remains as the small-N verifier);
+- n-gram Jaccard verifier.
+
+Shuffle discipline shared by every pipeline here: groupby keys are COARSE
+hash partitions (a few per core; each bucket/doc key maps to exactly one
+part), never raw keys — map_groups over millions of tiny groups pays
+Python overhead per key. Inside a part all work is vectorized
+pandas/numpy.
 
 Determinism: all hashing via blake2b/stable numpy; no Python ``hash``.
 """

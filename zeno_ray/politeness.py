@@ -102,16 +102,16 @@ class RobotsFilterStage:
             idx = u.find(h)
             paths.append(u[idx + len(h):] if idx >= 0 else "/")
         n = len(self.shards)
-        shard_ids = [hash64(h.partition(":")[0]) % n for h in hosts]
+        shard_ids = np.fromiter(
+            (hash64(h.partition(":")[0]) % n for h in hosts),
+            dtype=np.int64, count=len(hosts))
         mask = np.ones(len(hosts), dtype=bool)
         futures, indices = [], []
-        for s in range(n):
-            idxs = [i for i, sid in enumerate(shard_ids) if sid == s]
-            if idxs:
-                futures.append(self.shards[s].allowed.remote(
-                    [hosts[i] for i in idxs], [paths[i] for i in idxs]))
-                indices.append(idxs)
+        for s in np.unique(shard_ids):
+            idxs = np.nonzero(shard_ids == s)[0]
+            futures.append(self.shards[int(s)].allowed.remote(
+                [hosts[i] for i in idxs], [paths[i] for i in idxs]))
+            indices.append(idxs)
         for idxs, res in zip(indices, ray.get(futures)):
-            for i, ok in zip(idxs, res):
-                mask[i] = ok
+            mask[idxs] = res
         return batch.filter(pa.array(mask))

@@ -253,6 +253,111 @@ def is_cloudflarestream_url(url: str) -> bool:
     return "cloudflarestream.com" in url  # cloudflarestream.go:62-64
 
 
+def parse_mpd_duration(duration: str) -> int:
+    """cloudflarestream.go:418-453 (parseDuration) — the reference's own
+    ISO-8601-ish walk, quirks included: the 'T' marker falls through the
+    switch as a zero, 'M' always means minutes, fractional seconds are
+    ceil'd."""
+    import math
+
+    days = hours = minutes = 0
+    seconds = 0.0
+    duration = duration.removeprefix("P")
+    while True:
+        idx = next((i for i, ch in enumerate(duration) if ch in "DTHM"), -1)
+        if idx == -1:
+            break
+        try:
+            num = int(duration[:idx])
+        except ValueError:
+            num = 0  # Go's Atoi error-as-zero on "" (the T marker)
+        ch = duration[idx]
+        if ch == "D":
+            days = num
+        elif ch == "H":
+            hours = num
+        elif ch == "M":
+            minutes = num
+        duration = duration[idx + 1:]
+    if duration.endswith("S"):
+        try:
+            seconds = math.ceil(float(duration[:-1]))
+        except ValueError:
+            seconds = 0
+    return days * 86400 + hours * 3600 + minutes * 60 + int(seconds)
+
+
+def cloudflarestream_mpd_url(url: str) -> str | None:
+    """cloudflarestream.go:320-335: /watch → the DASH manifest URL with
+    the parentOrigin query."""
+    if len(url) < 6 or not url.endswith("/watch"):
+        return None
+    parts = urlsplit(url)
+    origin = f"{parts.scheme}://{parts.netloc}"
+    return url[: -len("/watch")] + "/manifest/video.mpd?parentOrigin=" + origin
+
+
+def cloudflarestream_segments(watch_url: str, mpd_xml: bytes) -> list[str]:
+    """cloudflarestream.go:359-416: expand every Representation's
+    SegmentTemplate — the init file plus ceil(duration×timescale/
+    segmentDuration) numbered media segments ($Number$ → 1-based index,
+    '../../' stripped), re-rooted on the watch URL's scheme://host."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    parts = urlsplit(watch_url)
+    root = ET.fromstring(mpd_xml.decode("utf-8", "replace"))
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    def findall(el, name):
+        return [c for c in el.iter() if local(c.tag) == name]
+
+    duration = parse_mpd_duration(root.get("mediaPresentationDuration", ""))
+    out: list[str] = []
+
+    def rooted(path: str) -> str:
+        return f"{parts.scheme}://{parts.netloc}/{path.lstrip('/')}"
+
+    for rep in findall(root, "Representation"):
+        for st in findall(rep, "SegmentTemplate"):
+            init = st.get("initialization", "").replace("../../", "", 1)
+            if init:
+                out.append(rooted(init))
+            try:
+                timescale = float(st.get("timescale", ""))
+                seg_dur = float(st.get("duration", ""))
+            except ValueError:
+                continue
+            n_segments = math.ceil(duration * timescale / seg_dur)
+            media = st.get("media", "")
+            for i in range(int(n_segments)):
+                seg = media.replace("$Number$", str(i + 1), 1)
+                seg = seg.replace("../../", "")
+                out.append(rooted(seg))
+    return out
+
+
+def cloudflarestream_watch_pre_fetch(url: str) -> PreFetchAction:
+    """The watch page's DASH manifest rides along as a companion item
+    (the reference fetches it inline from the DOM stage)."""
+    mpd = cloudflarestream_mpd_url(url)
+    return PreFetchAction(companions=[mpd] if mpd else [])
+
+
+def cloudflarestream_manifest_hook(url, body, content_type, fetch
+                                   ) -> PostFetchResult:
+    """When the fetched resource IS the DASH manifest, every expanded
+    segment becomes an asset."""
+    watch = url.split("/manifest/", 1)[0] + "/watch"
+    try:
+        return PostFetchResult(
+            assets=cloudflarestream_segments(watch, body), consume=True)
+    except Exception:
+        return PostFetchResult()
+
+
 def cloudflarestream_post_extract(url, outlinks, assets):
     """cloudflarestream.go:66-100 (GetJSFiles): the watch page's
     latest.js player bundle must ride along for playback — keep any
@@ -336,9 +441,17 @@ def default_registry(youtube_parser=None) -> PluginRegistry:
         is_reddit_url,
         lambda u: PreFetchAction(cookies=dict(REDDIT_COOKIES)))
 
+    reg.register_pre_fetch(
+        lambda u: is_cloudflarestream_url(u) and u.endswith("/watch"),
+        cloudflarestream_watch_pre_fetch)
+
     # post-response chain (capture.go:339-437)
     yt_match, yt_hook = make_youtube_plugin(parser=youtube_parser)
     reg.register_post_fetch(yt_match, yt_hook)
+    reg.register_post_fetch(
+        lambda u, ct: is_cloudflarestream_url(u)
+        and ct.startswith("application/dash+xml"),
+        cloudflarestream_manifest_hook)
     reg.register_post_fetch(
         lambda u, ct: is_reddit_post_api(u), reddit_post_hook)
     reg.register_post_fetch(InaPlayerPlugin.matches, InaPlayerPlugin())
