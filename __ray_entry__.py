@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 29 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 30 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
