@@ -72,7 +72,11 @@ def run_bench() -> dict:
     cfg = CrawlConfig(
         max_hops=6, max_epochs=32, seen_shards=min(16, max(4, ncpus // 2)),
         fetch_concurrency=max(4, ncpus // 2),
-        fetch_batch_size=1024, extract_batch_size=512,
+        # 2048/1024 won an interleaved A/B/C sweep at 32 CPUs (vs 1024/512:
+        # ~86s → ~74s; 4096/2048 regressed) — fewer task boundaries per
+        # epoch without starving the block splitter
+        fetch_batch_size=int(os.environ.get("RAYZENO_FETCH_BS", "2048")),
+        extract_batch_size=int(os.environ.get("RAYZENO_EXTRACT_BS", "1024")),
     )
 
     queries: dict[str, float] = {}
