@@ -72,11 +72,14 @@ def run_bench() -> dict:
     cfg = CrawlConfig(
         max_hops=6, max_epochs=32, seen_shards=min(16, max(4, ncpus // 2)),
         fetch_concurrency=max(4, ncpus // 2),
-        # 2048/1024 won an interleaved A/B/C sweep at 32 CPUs (vs 1024/512:
-        # ~86s → ~74s; 4096/2048 regressed) — fewer task boundaries per
-        # epoch without starving the block splitter
-        fetch_batch_size=int(os.environ.get("RAYZENO_FETCH_BS", "2048")),
-        extract_batch_size=int(os.environ.get("RAYZENO_EXTRACT_BS", "1024")),
+        # batch sizes scale with core count (constant task boundaries per
+        # core): an interleaved A/B/C sweep at 32 CPUs found 64/core fetch
+        # + 32/core extract best (2048/1024 vs the old fixed 1024/512:
+        # ~86s → ~74s; 4096/2048 regressed)
+        fetch_batch_size=int(os.environ.get("RAYZENO_FETCH_BS",
+                                            str(64 * ncpus))),
+        extract_batch_size=int(os.environ.get("RAYZENO_EXTRACT_BS",
+                                              str(32 * ncpus))),
     )
 
     queries: dict[str, float] = {}
