@@ -361,7 +361,8 @@ def _q_dedup_minhash(sf_dir: str):
     _quiet()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    return minhash_dedup(docs)
+    return minhash_dedup(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -372,7 +373,7 @@ def _q_dedup_simhash(sf_dir: str):
     _quiet()
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
-    pdf = simhash_groups(docs)[["doc_id", "cluster"]]
+    pdf = simhash_groups(docs).to_pandas()[["doc_id", "cluster"]]
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 

