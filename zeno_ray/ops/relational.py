@@ -202,13 +202,29 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
 
 
 def sessionize_events_distributed(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
-    """groupby(user).map_groups sessionization — the keyed-shuffle scale
-    path (one all-to-all on the pruned projection; per-group pandas)."""
+    """Coarse-partition sessionization — the keyed-shuffle scale path.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e12)
-        sid = (gaps > gap_minutes * 60).cumsum()
+    The shuffle keys on ``part = user_id % n_parts`` (a few parts per
+    core), NOT the raw user_id: a raw-key ``groupby(user).map_groups``
+    at 10^8 users is 10^8 tiny pandas groups each paying Python
+    dispatch. Every user's rows land in exactly one part; inside a part
+    the MULTI-user vectorized kernel (sort by user,ts → per-user diff →
+    gap-break cumsum) sessionizes the whole part in one pandas pass."""
+    import ray as _ray
+
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4) \
+        if _ray.is_initialized() else 32
+
+    def with_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["part"] = (df["user_id"].to_numpy() % n_parts).astype("int64")
+        return out
+
+    def sessions_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        gaps = g.groupby("user_id")["ts"].diff().dt.total_seconds()
+        brk = gaps.isna() | (gaps > gap_minutes * 60)
+        sid = brk.cumsum()
         out = g.groupby(sid).agg(
             user_id=("user_id", "first"), session_start=("ts", "first"),
             n_events=("ts", "size"))
@@ -216,8 +232,9 @@ def sessionize_events_distributed(sf_dir: str, gap_minutes: int = 30) -> pd.Data
 
     return (
         _read(sf_dir, "events", columns=["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(with_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sessions_in_part, batch_format="pandas")
         .to_pandas()
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
