@@ -159,7 +159,7 @@ def _clean_stale_epochs(ckpt: str, last: int) -> None:
     (the WAL-truncate step of ``queue/index/recovery.go:9-60``)."""
     import re
 
-    pat = re.compile(r"^(pages|seen|metrics|frontier|meta)_epoch_(\d+)$")
+    pat = re.compile(r"^(pages|seen|metrics|frontier|meta|counts)_epoch_(\d+)$")
     for name in os.listdir(ckpt):
         m = pat.match(name)
         if m:
@@ -310,6 +310,8 @@ def run_crawl(
             # ---- the epoch pipeline: ONE streaming execution ----
             pdir = _epoch_dir(ckpt_dir, "pages", k)
             os.makedirs(pdir, exist_ok=True)
+            cdir = _epoch_dir(ckpt_dir, "counts", k)
+            os.makedirs(cdir, exist_ok=True)
             mdir_side = None
             if plugins is not None and plugins.post_fetch:
                 mdir_side = _epoch_dir(ckpt_dir, "meta", k)
@@ -323,7 +325,7 @@ def run_crawl(
                     batch_size=cfg.fetch_batch_size)
                 .map_batches(
                     ExtractStage(cfg, pages_dir=pdir, plugins=plugins,
-                                 meta_dir=mdir_side),
+                                 meta_dir=mdir_side, counts_dir=cdir),
                     batch_format="pyarrow", batch_size=cfg.extract_batch_size)
                 .map_batches(
                     CandidateStage(cfg),
@@ -448,18 +450,22 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
         pq.write_table(pa.table({"hash": pa.array(np.sort(arr), pa.uint64())}),
                        os.path.join(sdir, f"shard={i}.parquet"))
 
-    # pages/asset counts + per-host lineage from this epoch's pages parts
-    pdir = _epoch_dir(ckpt_dir, "pages", k)
+    # pages/asset counts + per-host lineage from the slim per-batch
+    # (host, type, n) count parts the ExtractStage sink emitted — a few
+    # tiny files per epoch, NOT a re-read of every pages part (which is
+    # an O(pages/epoch) driver scan at scale)
+    cdir = _epoch_dir(ckpt_dir, "counts", k)
     frames = []
-    for dirpath, _d, files in os.walk(pdir):
-        for f in files:
+    if os.path.isdir(cdir):
+        for f in os.listdir(cdir):
             if f.endswith(".parquet"):
-                frames.append(pq.read_table(os.path.join(dirpath, f),
-                                            columns=["host", "type"]).to_pandas())
+                frames.append(pq.read_table(os.path.join(cdir, f)).to_pandas())
     if frames:
         pages_meta = pd.concat(frames, ignore_index=True)
+        pages_meta = pages_meta.groupby(["host", "type"], as_index=False)["n"].sum()
     else:
-        pages_meta = pd.DataFrame({"host": [], "type": []})
+        pages_meta = pd.DataFrame({"host": [], "type": [],
+                                   "n": pd.Series([], dtype="int64")})
     if fast_mode and len(pages_meta):
         # fast mode skips the per-epoch host-registry aggregate; derive the
         # registry (metrics/checkpoint only) from the fetched hosts here —
@@ -467,8 +473,8 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
         for h in sorted(set(pages_meta["host"])):
             if h not in hosts_snapshot:
                 hosts_snapshot[h] = len(hosts_snapshot)
-    n_pages = int((pages_meta["type"] == "seed").sum())
-    n_assets = int((pages_meta["type"] == "asset").sum())
+    n_pages = int(pages_meta.loc[pages_meta["type"] == "seed", "n"].sum())
+    n_assets = int(pages_meta.loc[pages_meta["type"] == "asset", "n"].sum())
     m["pages_fetched"] = n_pages
     m["assets_fetched"] = n_assets
     m["hosts"] = len(hosts_snapshot)
@@ -479,8 +485,7 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
     os.makedirs(mdir, exist_ok=True)
     with open(os.path.join(mdir, "metrics.json"), "w") as f:
         json.dump(m, f)
-    lineage = pages_meta.groupby(["host", "type"], as_index=False).size()
-    lineage = lineage.rename(columns={"size": "n_fetched"})
+    lineage = pages_meta.rename(columns={"n": "n_fetched"})
     pq.write_table(pa.Table.from_pandas(lineage, preserve_index=False),
                    os.path.join(mdir, "lineage.parquet"))
 

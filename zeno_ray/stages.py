@@ -76,10 +76,15 @@ class ExtractStage:
     """
 
     def __init__(self, cfg: CrawlConfig, pages_dir: str | None = None,
-                 plugins=None, meta_dir: str | None = None):
+                 plugins=None, meta_dir: str | None = None,
+                 counts_dir: str | None = None):
         self.cfg = cfg
         self.pages_dir = pages_dir
         self.meta_dir = meta_dir  # WARC-metadata-style side records sink
+        # slim per-batch (host, type, n) rows for epoch metrics/lineage —
+        # lets the commit path aggregate a few tiny files instead of
+        # re-reading every pages part (O(pages/epoch) driver scan)
+        self.counts_dir = counts_dir
         self.plugins = plugins  # PluginRegistry | None — post-fetch/extract
         self.is_excluded = make_is_excluded(cfg)
         self.disabled = frozenset(cfg.disabled_html_tags)
@@ -204,6 +209,23 @@ class ExtractStage:
             final = os.path.join(self.pages_dir, f"part-{key}.parquet")
             pq.write_table(table.drop_columns(["candidates"]), tmp)
             os.replace(tmp, final)
+            if self.counts_dir is not None:
+                import pandas as pd
+
+                counts = (
+                    pd.DataFrame({"host": out["host"], "type": out["type"]})
+                    .groupby(["host", "type"], as_index=False).size()
+                    .rename(columns={"size": "n"})
+                )
+                ct = pa.table({
+                    "host": pa.array(counts["host"], pa.string()),
+                    "type": pa.array(counts["type"], pa.string()),
+                    "n": pa.array(counts["n"], pa.int64()),
+                })
+                ctmp = os.path.join(self.counts_dir, f".part-{key}.tmp")
+                cfinal = os.path.join(self.counts_dir, f"part-{key}.parquet")
+                pq.write_table(ct, ctmp)
+                os.replace(ctmp, cfinal)
         return table.select(["url", "host", "hop", "order", "candidates"])
 
 
