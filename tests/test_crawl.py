@@ -368,3 +368,56 @@ def test_partitioned_enrichment_resumes(tmp_path, ray_session):
     want = enrich_pages(cdir).to_pandas().sort_values("url").reset_index(drop=True)
     assert got.equals(want)
     assert got["url"].duplicated().sum() == 0
+
+
+# ----------------------------------------------------- watchdogs (no Ray)
+
+
+def test_time_limit_guard():
+    """crawl/crawl.go:60-68: past --crawl-time-limit the crawl finishes
+    gracefully; past --crawl-max-time-limit (default limit+10%) it
+    hard-aborts. Checked at epoch boundaries in the BSP rebuild."""
+    import time as _time
+
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.crawl import _epoch_boundary_guard
+
+    now = _time.monotonic()
+    cfg = CrawlConfig(crawl_time_limit=100)
+    assert _epoch_boundary_guard(cfg, now, "/tmp") == "run"
+    assert _epoch_boundary_guard(cfg, now - 101, "/tmp") == "finish"
+    with pytest.raises(TimeoutError):
+        _epoch_boundary_guard(cfg, now - 111, "/tmp")  # > 100 + 10%
+    # explicit max overrides the +10% default
+    cfg2 = CrawlConfig(crawl_time_limit=100, crawl_max_time_limit=500)
+    assert _epoch_boundary_guard(cfg2, now - 200, "/tmp") == "finish"
+    # disabled by default
+    assert _epoch_boundary_guard(CrawlConfig(), now - 10**6, "/tmp") == "run"
+
+
+def test_disk_watchdog_pauses_until_space_frees(monkeypatch):
+    """crawl/utils.go:42-57 handleCrawlPause: the crawl pauses while free
+    disk is at or below --min-space-required and resumes when space
+    frees."""
+    import time as _time
+
+    import zeno_ray.crawl as crawl_mod
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.crawl import _epoch_boundary_guard
+
+    free = iter([5.0, 5.0, 30.0, 30.0])
+    monkeypatch.setattr(crawl_mod, "_free_disk_gb", lambda p: next(free))
+    naps = []
+    out = _epoch_boundary_guard(
+        CrawlConfig(min_space_required=20), _time.monotonic(), "/tmp",
+        sleep=naps.append)
+    assert out == "run"
+    assert len(naps) == 1  # paused once (5 GB), resumed at 30 GB
+
+
+def test_min_space_alias_msr():
+    """cmd/get.go:111: deprecated --msr alias maps to min-space-required."""
+    from zeno_ray.config import load_config
+
+    cfg = load_config(flags={"msr": 7})
+    assert cfg.min_space_required == 7

@@ -127,8 +127,9 @@ def test_youtube_plugin_emits_metadata_and_assets():
 
 
 def test_ina_player_cache_probes_once():
-    """ina.go:19-25,110-170: the player version is fetched once per
-    process; subsequent pages reuse the cached asset list."""
+    """ina.go:19-25,107-166: the player version is fetched once per
+    process; subsequent pages reuse the cached asset list. The probe
+    also triggers the secondary jwplayer.js fetch (ina.go:139-163)."""
 
     class Rec:
         status = 200
@@ -143,11 +144,66 @@ def test_ina_player_cache_probes_once():
     plugin = ss.InaPlayerPlugin()
     r1 = plugin("https://www.ina.fr/video/x", b"<html>", "text/html", fetch)
     r2 = plugin("https://www.ina.fr/video/y", b"<html>", "text/html", fetch)
-    assert calls == [ss.InaPlayerPlugin.PLAYER_VERSION_URL]
+    assert calls == [
+        ss.InaPlayerPlugin.PLAYER_VERSION_URL,
+        ss.InaPlayerPlugin.JWPLAYER_JS_URL.format(version="1.2.3"),
+    ]
     assert plugin.n_probes == 1
     assert ("https://player-hub.ina.fr/dist/ina-player.min.js?version=1.2.3"
             in r1.assets)
     assert r1.assets == r2.assets
+
+
+def test_ina_player_failed_probe_retries():
+    """ina.go:112-120: a failed version probe leaves the package-global
+    unset, so the NEXT page retries instead of permanently disabling
+    player-asset injection."""
+
+    class Good:
+        status = 200
+        html = b"9.9\n"
+
+    state = {"fail": True, "calls": 0}
+
+    def fetch(url):
+        state["calls"] += 1
+        return None if state["fail"] else Good()
+
+    plugin = ss.InaPlayerPlugin()
+    r1 = plugin("https://www.ina.fr/video/x", b"", "text/html", fetch)
+    assert r1.assets == []
+    state["fail"] = False
+    r2 = plugin("https://www.ina.fr/video/y", b"", "text/html", fetch)
+    assert any("version=9.9" in a for a in r2.assets)
+    # probe + jwplayer fetch succeeded on the retry; now cached
+    plugin("https://www.ina.fr/video/z", b"", "text/html", fetch)
+    assert state["calls"] == 3  # 1 failed probe + probe + jwplayer
+
+
+def test_ina_jwplayer_asset_extraction():
+    """ina.go:139-163: jwplayer.js is scanned for ssl.p.jwpcdn.com
+    script URLs and the JW Player version banner."""
+
+    jw_body = (b'x("//ssl.p.jwpcdn.com/player/v/8.9.3/provider.hlsjs.js");\n'
+               b'/* JW Player version 8.9.3\n */\n')
+
+    class VerRec:
+        status = 200
+        html = b"1.2.3"
+
+    class JwRec:
+        status = 200
+        html = jw_body
+
+    def fetch(url):
+        return JwRec() if "jwplayer" in url else VerRec()
+
+    plugin = ss.InaPlayerPlugin()
+    r = plugin("https://www.ina.fr/video/x", b"", "text/html", fetch)
+    assert ("https://ssl.p.jwpcdn.com/player/v/8.9.3/provider.hlsjs.js"
+            in r.assets)
+    assert ("https://ssl.p.jwpcdn.com/player/v/8.9.3"
+            "/jwplayer.core.controls.html5.js" in r.assets)
 
 
 def test_cloudflarestream_post_extract():

@@ -43,6 +43,19 @@ class CrawlConfig:
     api: bool = False      # --api: serve live stats JSON + /metrics
     api_port: int = 0      # --api-port (reference default 9443; 0 here =
                            # ephemeral, the test-friendly default)
+    crawl_time_limit: int = 0  # --crawl-time-limit (cmd/get.go:55): seconds
+                               # until the crawl sets itself finished; a BSP
+                               # crawl can only stop at an epoch boundary, so
+                               # that is where the clock is checked
+    crawl_max_time_limit: int = 0  # --crawl-max-time-limit (cmd/get.go:56):
+                                   # hard abort; 0 = time_limit + 10% like the
+                                   # reference default
+    min_space_required: int = 0  # --min-space-required GB (cmd/get.go:58 +
+                                 # crawl/utils.go:42-57 handleCrawlPause):
+                                 # pause at the epoch boundary while free disk
+                                 # under the job path is at or below this.
+                                 # Reference default is 20; default 0 (off)
+                                 # here so sandbox runs can't silently hang.
 
     def all_excluded_hosts(self) -> tuple:
         return tuple(self.excluded_hosts) + DEFAULT_EXCLUDED_HOSTS
@@ -51,6 +64,7 @@ class CrawlConfig:
 # flag aliases (config.go handleFlagsAliases: e.g. --hops → max-hops)
 CONFIG_ALIASES = {
     "hops": "max_hops",
+    "msr": "min_space_required",  # deprecated alias (cmd/get.go:111)
     "cookies": "cookie_file",
     "exclude_host": "excluded_hosts",
     "include_host": "included_hosts",

@@ -623,6 +623,19 @@ def ensure_corpus(spec: CorpusSpec, out_dir: str) -> str:
     tmp-dir rename so concurrent callers and killed runs are safe)."""
     marker = os.path.join(out_dir, "_SUCCESS")
     stamp = f"{spec}|v{CORPUS_VERSION}"
+    # sweep torn tmp siblings left by crashed generators (their pid is
+    # gone; a LIVE concurrent generator's tmp dir is at most minutes old,
+    # so only dirs older than an hour are reaped)
+    import glob
+    import shutil
+    import time
+
+    for stale in glob.glob(out_dir + ".tmp.*"):
+        try:
+            if time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     if os.path.exists(marker):
         try:
             if open(marker).read().strip() == stamp:

@@ -230,6 +230,21 @@ def run_crawl(
                 seen, table["hash"].to_numpy().astype(np.uint64)
             )
             table = table.filter(pa.array(mask))
+        # rebuild the host registry from the rows that SURVIVED the
+        # robots + seen gates: a host whose every seed was rejected never
+        # enters the rotation (matches the reference, where blocked seeds
+        # never reach the queue and so never register their host).
+        # Renumber host_seq densely so assign_host_seq's len(hosts)
+        # continuation can't collide with a surviving seq.
+        hosts = {}
+        hseqs = np.empty(table.num_rows, dtype=np.int64)
+        for i, h in enumerate(table["host"].to_pylist()):
+            if h not in hosts:
+                hosts[h] = len(hosts)
+            hseqs[i] = hosts[h]
+        table = table.set_column(
+            table.schema.get_field_index("host_seq"), "host_seq",
+            pa.array(hseqs, pa.int64()))
         fdir = _epoch_dir(ckpt_dir, "frontier", 0)
         os.makedirs(fdir, exist_ok=True)
         import pyarrow.parquet as pq
@@ -251,12 +266,17 @@ def run_crawl(
                       plugins=plugins, cookie_file=cfg.cookie_file or None)
 
     api_server = None
+    # every counter key the committer thread will ever touch is created
+    # HERE, before the StatsServer handler thread can copy the dict —
+    # value updates on existing keys are atomic under the GIL, but a
+    # size-changing insert racing dict(api_state) raises RuntimeError.
     api_state: dict = {"workers": [
         {"worker_id": "fetch-pool", "status": "idle",
          "concurrency": cfg.fetch_concurrency},
         {"worker_id": "seen-shards", "status": "idle",
          "concurrency": cfg.seen_shards},
-    ]}
+    ], "crawled_seeds": 0, "crawled_assets": 0, "queued": 0,
+       "hosts": 0, "epoch": -1, "seen_size": 0}
     if cfg.api:
         from zeno_ray.statsapi import StatsServer
 
@@ -266,9 +286,12 @@ def run_crawl(
     pending = None
     total_holder = {"pages": 0}
     frontier_mem = None  # materialized next-frontier carried across epochs
+    t_start = time.monotonic()
     k = start_epoch
     try:
         while k < cfg.max_epochs:
+            if _epoch_boundary_guard(cfg, t_start, ckpt_dir) == "finish":
+                break
             t0 = time.perf_counter()
             fdir = _epoch_dir(ckpt_dir, "frontier", k)
             if frontier_mem is not None:
@@ -418,6 +441,44 @@ def run_crawl(
         seen_size=seen_sizes(seen),
         metrics=metrics,
     )
+
+
+def _free_disk_gb(path: str) -> float:
+    """Free space (GB) on the filesystem holding *path*
+    (crawl/utils.go GetFreeDiskSpace)."""
+    return shutil.disk_usage(path).free / 1e9
+
+
+def _epoch_boundary_guard(cfg, t_start: float, ckpt_dir: str,
+                          sleep=time.sleep) -> str:
+    """The reference's two background watchdogs — the crawl-time-limit
+    clock (crawl/crawl.go:60-68) and the min-free-disk pause loop
+    (crawl/utils.go:42-57 handleCrawlPause) — re-expressed at the only
+    place a BSP crawl can stop: the epoch boundary. Returns "run" to
+    start the next epoch or "finish" for a graceful (checkpointed) stop;
+    raises TimeoutError past the hard limit (the reference Fatal-exits —
+    here the abort is safe because every prior epoch is committed and
+    the crawl resumes exactly)."""
+    if cfg.crawl_time_limit:
+        elapsed = time.monotonic() - t_start
+        hard = cfg.crawl_max_time_limit or (
+            cfg.crawl_time_limit + cfg.crawl_time_limit // 10)
+        if elapsed >= hard:
+            raise TimeoutError(
+                f"crawl-max-time-limit reached ({elapsed:.0f}s >= {hard}s)")
+        if elapsed >= cfg.crawl_time_limit:
+            print(f"[rayzeno] crawl time limit reached "
+                  f"({elapsed:.0f}s >= {cfg.crawl_time_limit}s): "
+                  "finishing the crawl.", flush=True)
+            return "finish"
+    if cfg.min_space_required:
+        while _free_disk_gb(ckpt_dir) <= cfg.min_space_required:
+            print(f"[rayzeno] not enough disk space: "
+                  f"{cfg.min_space_required} GB required, "
+                  f"{_free_disk_gb(ckpt_dir):.1f} GB available — paused.",
+                  flush=True)
+            sleep(1.0)
+    return "run"
 
 
 def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,

@@ -188,6 +188,8 @@ def decode_bmp(payload: bytes):
     pix = rows[:, : w * 3].reshape(h, w, 3)
     if flip:
         pix = pix[::-1]
+    # BMP stores BGR; hand RGB to _mean_luma like the PPM path does.
+    pix = pix[..., ::-1]
     return w, h, pix, len(payload)
 
 

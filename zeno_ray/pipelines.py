@@ -166,6 +166,8 @@ def enrich_pages_partitioned(corpus_dir: str, out_dir: str,
     from zeno_ray.sinks import write_partitioned
 
     files = sorted(glob.glob(os.path.join(corpus_dir, "pages/*.parquet")))
+    if not files:
+        return {"written": [], "skipped": []}
     n_eff = max(1, min(n_partitions, len(files)))  # one input shard per
     # partition minimum — empty partitions would read_parquet([])
 

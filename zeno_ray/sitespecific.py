@@ -372,17 +372,50 @@ def cloudflarestream_post_extract(url, outlinks, assets):
 
 # -------------------------------------------------------------------- ina
 
+_JWPLAYER_ASSET_RE = re.compile(r'"//ssl\.p\.jwpcdn\.com[^"]+\.js"')
+
+
+def _extract_jwplayer_version(body: str) -> str:
+    """ina.go:168-176 (extractJWPlayerVersion) — line-scan for the
+    banner comment."""
+    for line in body.split("\n"):
+        if "JW Player version" in line:
+            return line.split("JW Player version ")[1]
+    return ""
+
+
 class InaPlayerPlugin:
-    """ina/ina.go:19-25,110-170 — the one reference plugin with cached
+    """ina/ina.go:19-25,107-166 — the one reference plugin with cached
     state: the player version is fetched ONCE per process (guarded by a
     package-global + mutex there; a per-worker instance attribute here)
-    and the derived player asset URLs are injected on every ina page."""
+    and the derived player asset URLs are injected on every ina page.
+    Like the reference, a FAILED version probe caches nothing (the
+    package-global stays empty) so the next page retries; only a
+    successful probe is cached. The secondary jwplayer.js fetch
+    (ina.go:139-163) is best-effort within a successful probe: its
+    ssl.p.jwpcdn.com script URLs and the versioned core-controls bundle
+    ride along when it succeeds, but its failure does not un-cache the
+    six base player assets (matching the reference's early returns)."""
 
     PLAYER_VERSION_URL = "https://player-hub.ina.fr/version"
+    JWPLAYER_JS_URL = "https://player-hub.ina.fr/js/jwplayer/jwplayer.js?version={version}"
 
     def __init__(self):
         self._player_urls: list[str] | None = None
-        self.n_probes = 0  # test observability: must stay ≤ 1
+        self.n_probes = 0  # test observability: ≤1 on a healthy fetcher
+
+    def _jwplayer_assets(self, fetch, version: str) -> list[str]:
+        rec = fetch(self.JWPLAYER_JS_URL.format(version=version))
+        if rec is None or getattr(rec, "status", 0) != 200:
+            return []
+        body = rec.html.decode("utf-8", "replace")
+        urls = ["https:" + m[1:-1]
+                for m in _JWPLAYER_ASSET_RE.findall(body)]
+        urls.append(
+            "https://ssl.p.jwpcdn.com/player/v/"
+            + _extract_jwplayer_version(body)
+            + "/jwplayer.core.controls.html5.js")
+        return urls
 
     def _player_assets(self, fetch) -> list[str]:
         if self._player_urls is None:
@@ -392,17 +425,16 @@ class InaPlayerPlugin:
                 rec = fetch(self.PLAYER_VERSION_URL)
                 if rec is not None and getattr(rec, "status", 0) == 200:
                     version = rec.html.decode("utf-8", "replace").strip()
-            if version:
-                self._player_urls = [
-                    f"https://player-hub.ina.fr/dist/ina-player.min.js?version={version}",
-                    f"https://player-hub.ina.fr/dist/player-default-skin.min.css?version={version}",
-                    "https://player-hub.ina.fr/assets/player/svg/pause.svg",
-                    "https://player-hub.ina.fr/assets/player/svg/play.svg",
-                    "https://player-hub.ina.fr/assets/player/svg/backward.svg",
-                    "https://player-hub.ina.fr/assets/player/svg/forward.svg",
-                ]
-            else:
-                self._player_urls = []
+            if not version:
+                return []  # probe failed: do NOT cache; retry next page
+            self._player_urls = [
+                f"https://player-hub.ina.fr/dist/ina-player.min.js?version={version}",
+                f"https://player-hub.ina.fr/dist/player-default-skin.min.css?version={version}",
+                "https://player-hub.ina.fr/assets/player/svg/pause.svg",
+                "https://player-hub.ina.fr/assets/player/svg/play.svg",
+                "https://player-hub.ina.fr/assets/player/svg/backward.svg",
+                "https://player-hub.ina.fr/assets/player/svg/forward.svg",
+            ] + self._jwplayer_assets(fetch, version)
         return self._player_urls
 
     @staticmethod
