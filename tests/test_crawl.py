@@ -421,3 +421,113 @@ def test_min_space_alias_msr():
 
     cfg = load_config(flags={"msr": 7})
     assert cfg.min_space_required == 7
+
+
+# ----------------------------------------- parquet host registry backend
+
+
+def test_parquet_host_registry_matches_dict_backend(tmp_path):
+    """frontier.ParquetHostRegistry: the on-disk registry backend must
+    yield a byte-identical budget-mode crawl (same page set, same fetch
+    order, same host count) as the driver-dict backend."""
+    import dataclasses
+
+    spec = CorpusSpec(n_hosts=5, pages_per_host=8)
+    base = CrawlConfig(max_hops=6, max_epochs=16, seen_shards=2,
+                      fetch_concurrency=2, host_budget=3)
+    r_mem = run_crawl(spec, base, str(tmp_path / "mem"))
+    cfg_pq = dataclasses.replace(base, host_registry="parquet")
+    r_pq = run_crawl(spec, cfg_pq, str(tmp_path / "pq"))
+
+    cols = ["url", "order", "hop", "status"]
+    pm = (r_mem.pages_dataset().to_pandas()[cols]
+          .sort_values("url").reset_index(drop=True))
+    pp = (r_pq.pages_dataset().to_pandas()[cols]
+          .sort_values("url").reset_index(drop=True))
+    assert pm.equals(pp)
+    assert any(d.startswith("hostreg_epoch_")
+               for d in os.listdir(str(tmp_path / "pq")))
+    assert r_pq.metrics[-1]["hosts"] == r_mem.metrics[-1]["hosts"]
+
+
+def test_parquet_host_registry_resume(tmp_path):
+    """A budget-mode crawl on the parquet registry backend stops early and
+    resumes from checkpoint to the same result as an uninterrupted run
+    (registry size and numbering restored from the epoch-stamped files)."""
+    import dataclasses
+
+    spec = CorpusSpec(n_hosts=5, pages_per_host=8)
+    cfg = CrawlConfig(max_hops=6, max_epochs=16, seen_shards=2,
+                      fetch_concurrency=2, host_budget=3,
+                      host_registry="parquet")
+    full = run_crawl(spec, cfg, str(tmp_path / "full"))
+
+    cfg_short = dataclasses.replace(cfg, max_epochs=2)
+    ckpt = str(tmp_path / "resumed")
+    run_crawl(spec, cfg_short, ckpt)
+    resumed = run_crawl(spec, cfg, ckpt, resume=True)
+
+    cols = ["url", "order", "hop", "status"]
+    pf = (full.pages_dataset().to_pandas()[cols]
+          .sort_values("url").reset_index(drop=True))
+    pr = (resumed.pages_dataset().to_pandas()[cols]
+          .sort_values("url").reset_index(drop=True))
+    assert pf.equals(pr)
+
+
+# --------------------------------------------- HQ stand-in (feed dir)
+
+
+def test_hq_loopback_matches_local_crawl(tmp_path):
+    """hq.go:52-278 consumer+producer stand-in: routing every discovered
+    frontier row through the remote frontier DIRECTORY (produce → feed →
+    ingest next epoch) must reproduce the local crawl's page set and
+    bytes exactly — the directory is just a different queue transport."""
+    import dataclasses
+
+    spec = CorpusSpec(n_hosts=5, pages_per_host=8)
+    base = CrawlConfig(max_hops=6, max_epochs=32, seen_shards=2,
+                       fetch_concurrency=2)
+    local = run_crawl(spec, base, str(tmp_path / "local"))
+
+    feed = str(tmp_path / "feed")
+    cfg_hq = dataclasses.replace(
+        base, hq_feed_dir=feed, hq_produce=True)
+    hq = run_crawl(spec, cfg_hq, str(tmp_path / "hq"))
+
+    pl = (local.pages_dataset().to_pandas()[["url", "hop", "status"]]
+          .sort_values("url").reset_index(drop=True))
+    ph = (hq.pages_dataset().to_pandas()[["url", "hop", "status"]]
+          .sort_values("url").reset_index(drop=True))
+    assert pl.equals(ph)
+    # every epoch's local queue committed empty; the feed dir carried it
+    assert all(mm["next_frontier_rows"] == 0 for mm in hq.metrics)
+    assert sum(mm.get("hq_produced", 0) for mm in hq.metrics) > 0
+    # consumed names are committed — a resumed run ingests nothing new
+    consumed = [n for mm in hq.metrics for n in mm.get("hq_consumed", [])]
+    assert len(consumed) == len(set(consumed))
+
+
+def test_hq_bare_url_sideload(tmp_path):
+    """hq.go:149-228: externally fed bare-URL batches enter through the
+    seed gates (canonicalize, seencheck, host registration) and are
+    crawled alongside the local frontier."""
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_hosts=4, pages_per_host=6)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    # sideload host 3's root (not reachable from host 0's seed alone in
+    # one hop) as an external batch, plus a junk URL that must be gated
+    seeds = spec.seeds()
+    sideload_url = seeds[-1]
+    pq.write_table(
+        pa.table({"url": pa.array([sideload_url, "notaurl"], pa.string())}),
+        os.path.join(feed, "external-0.parquet"))
+
+    cfg = CrawlConfig(max_hops=2, max_epochs=8, seen_shards=2,
+                      fetch_concurrency=2, hq_feed_dir=feed)
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"), seeds=[seeds[0]])
+    pages = res.pages_dataset().to_pandas()
+    assert sideload_url in set(pages["url"])
+    assert res.metrics[0]["hq_consumed"] == ["external-0.parquet"]

@@ -50,6 +50,18 @@ class CrawlConfig:
     crawl_max_time_limit: int = 0  # --crawl-max-time-limit (cmd/get.go:56):
                                    # hard abort; 0 = time_limit + 10% like the
                                    # reference default
+    hq_feed_dir: str = ""  # HQ stand-in (hq.go:149-228 HQConsumer): watched
+                           # directory of parquet URL batches ingested at
+                           # each epoch boundary; "" = disabled
+    hq_produce: bool = False  # HQ stand-in (hq.go:52-147 HQProducer):
+                              # export discovered frontier rows to
+                              # hq_feed_dir instead of the local frontier
+    host_registry: str = "mem"  # host→host_seq registry backend (budget
+                                # mode): "mem" = driver dict (fast, fine to
+                                # ~10^6 hosts), "parquet" = on-disk registry
+                                # with a per-epoch distributed semi-join —
+                                # driver memory O(hosts touched per epoch),
+                                # the 10^8-host scale path
     min_space_required: int = 0  # --min-space-required GB (cmd/get.go:58 +
                                  # crawl/utils.go:42-57 handleCrawlPause):
                                  # pause at the epoch boundary while free disk

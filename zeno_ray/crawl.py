@@ -28,6 +28,18 @@ checkpoint WRITES overlap the next epoch's compute; the ``_SUCCESS`` marker
 is written last, so resume = rerun from the last marked epoch, exactly
 (the WAL+snapshot recovery contract of ``queue/index/recovery.go:9-60``
 re-expressed as idempotent Parquet commits).
+
+Backpressure: the reference's crawlSpeedLimiter and WARC-queue pause
+(``crawl/utils.go:15-40``) throttle fetch workers when the writer falls
+behind; here the in-flight side is Ray Data's streaming backpressure
+(fetch/extract tasks are admitted against object-store budget, SURVEY §4),
+and the durable side is bounded by the BSP barrier itself: each epoch's
+pages parts are written inline by the extract stage (disk-rate-coupled to
+fetch, never queued in memory), while the ASYNC committer thread only
+handles the slim frontier/seen/metrics commit — at most ONE epoch of
+commit lag exists by construction (``pending.result()`` before the next
+submit), so checkpoint disk growth cannot run away from fetch progress.
+Disk exhaustion itself is the watchdog's job (``min_space_required``).
 """
 
 from __future__ import annotations
@@ -48,6 +60,7 @@ from zeno_ray.corpus import CorpusSpec
 from zeno_ray.fetch import Fetcher
 from zeno_ray.frontier import (
     FRONTIER_SCHEMA,
+    ParquetHostRegistry,
     assign_host_seq,
     candidates_to_frontier_rows,
     load_hosts,
@@ -159,7 +172,8 @@ def _clean_stale_epochs(ckpt: str, last: int) -> None:
     (the WAL-truncate step of ``queue/index/recovery.go:9-60``)."""
     import re
 
-    pat = re.compile(r"^(pages|seen|metrics|frontier|meta|counts)_epoch_(\d+)$")
+    pat = re.compile(
+        r"^(pages|seen|metrics|frontier|meta|counts|hostreg)_epoch_(\d+)$")
     for name in os.listdir(ckpt):
         m = pat.match(name)
         if m:
@@ -193,13 +207,22 @@ def run_crawl(
     seen = create_seen_actors(cfg.seen_shards)
     metrics: list[dict] = []
     start_epoch = 0
+    # registry backend: the parquet registry only matters in budget mode
+    # (fast mode never observes host_seq)
+    use_preg = cfg.host_budget > 0 and cfg.host_registry == "parquet"
+    registry = None
     if resume:
         last = _last_complete_epoch(ckpt_dir)
         _clean_stale_epochs(ckpt_dir, last)
         if last >= 0:
             restore_seen(seen, _epoch_dir(ckpt_dir, "seen", last))
-            hosts = load_hosts(
-                os.path.join(_epoch_dir(ckpt_dir, "seen", last), "hosts.parquet"))
+            if use_preg:
+                registry = ParquetHostRegistry.open(ckpt_dir)
+                hosts = {}
+            else:
+                hosts = load_hosts(
+                    os.path.join(_epoch_dir(ckpt_dir, "seen", last),
+                                 "hosts.parquet"))
             start_epoch = last + 1
             for k in range(last + 1):
                 mpath = os.path.join(_epoch_dir(ckpt_dir, "metrics", k), "metrics.json")
@@ -245,6 +268,10 @@ def run_crawl(
         table = table.set_column(
             table.schema.get_field_index("host_seq"), "host_seq",
             pa.array(hseqs, pa.int64()))
+        if use_preg:
+            registry = ParquetHostRegistry(ckpt_dir)
+            registry.bootstrap(hosts)
+            hosts = {}
         fdir = _epoch_dir(ckpt_dir, "frontier", 0)
         os.makedirs(fdir, exist_ok=True)
         import pyarrow.parquet as pq
@@ -286,6 +313,12 @@ def run_crawl(
     pending = None
     total_holder = {"pages": 0}
     frontier_mem = None  # materialized next-frontier carried across epochs
+    # HQ consumer bookkeeping: batches consumed by COMMITTED epochs (from
+    # their metrics) are never re-ingested; a crashed epoch's consumption
+    # re-runs and the restored seen filter dedupes it (idempotent)
+    hq_consumed: set = set()
+    for mm in metrics:
+        hq_consumed.update(mm.get("hq_consumed", []))
     t_start = time.monotonic()
     k = start_epoch
     try:
@@ -297,8 +330,24 @@ def run_crawl(
             if frontier_mem is not None:
                 frontier = frontier_mem
                 n_frontier = frontier.count()  # cheap: materialized
-                if n_frontier == 0:
-                    break
+            else:
+                n_frontier = _parquet_rows(fdir)
+                frontier = None
+            # HQ consumer: pull unconsumed feed batches BEFORE the empty
+            # check — the local frontier is empty every epoch in producer
+            # mode; the feed directory is the queue (hq.go:149-228)
+            hq_names: list = []
+            hq_ds = None
+            if cfg.hq_feed_dir:
+                from zeno_ray.hq import ingest_feed
+
+                hq_ds, hq_names = ingest_feed(
+                    cfg.hq_feed_dir, hq_consumed, k, seen, robots,
+                    hosts, registry, cfg)
+                hq_consumed.update(hq_names)
+            if n_frontier == 0 and hq_ds is None:
+                break
+            if frontier is not None:
                 # the carried frontier inherits few fat blocks from the
                 # candidate pipeline — split fine-grained (≈8 tasks per
                 # core) so the fetch stage runs wide with a smooth tail
@@ -316,15 +365,23 @@ def run_crawl(
                 if n_frontier > cfg.fetch_batch_size * 2 and (
                         have is None or have < max(2, want_blocks // 2)):
                     frontier = frontier.repartition(want_blocks)
-            else:
-                n_frontier = _parquet_rows(fdir)
-                if n_frontier == 0:
-                    break
+            elif n_frontier > 0:
                 ncpu = int(ray.cluster_resources().get("CPU", 8))
                 n_blocks = max(
                     2, min(ncpu * 8,
                            n_frontier // max(1, cfg.fetch_batch_size) + 1))
                 frontier = rd.read_parquet(fdir, override_num_blocks=n_blocks)
+            if hq_ds is not None:
+                hq_ds = _cast_frontier(hq_ds).materialize()
+                n_hq = hq_ds.count()
+                if n_hq:
+                    frontier = (hq_ds if frontier is None
+                                else frontier.union(hq_ds))
+                    n_frontier += n_hq
+                elif frontier is None:
+                    # feed batches existed but every row gated out; record
+                    # them consumed via this (otherwise empty) epoch
+                    frontier = rd.from_arrow(FRONTIER_SCHEMA.empty_table())
 
             # ---- rank/budget (budget throttles page fetches; assets exempt) ----
             t_phase = time.perf_counter()
@@ -389,30 +446,51 @@ def run_crawl(
                 next_rows = _cast_frontier(next_rows).materialize()
             else:
                 new = new.materialize()
-                nxt = assign_host_seq(new, hosts)
+                nxt = (registry.assign(new, k) if registry is not None
+                       else assign_host_seq(new, hosts))
                 next_rows = candidates_to_frontier_rows(nxt, epoch=k)
                 if carry is not None:
                     next_rows = next_rows.union(carry)
                 next_rows = _cast_frontier(next_rows).materialize()
-            frontier_mem = next_rows
             n_next = next_rows.count()
+            n_hq_produced = 0
+            if cfg.hq_produce and cfg.hq_feed_dir:
+                # HQ producer: discovered rows leave for the remote
+                # frontier directory; the LOCAL queue commits empty
+                from zeno_ray.hq import produce_batch
+
+                if n_next:
+                    produce_batch(cfg.hq_feed_dir, next_rows, k)
+                    n_hq_produced = n_next
+                next_rows = rd.from_arrow(
+                    FRONTIER_SCHEMA.empty_table()).materialize()
+                n_next = 0
+            frontier_mem = next_rows
             t_frontier = time.perf_counter() - t_phase
 
             # ---- synchronous state snapshot (cheap), async durable commit ----
             seen_dumps = ray.get([s.dump.remote() for s in seen])
             seen_total = int(sum(len(d) for d in seen_dumps))
             fast_mode = cfg.host_budget <= 0
-            hosts_snapshot = hosts if fast_mode else dict(hosts)
+            # parquet-registry mode: the registry is already durable
+            # (written synchronously in assign); the commit thread gets a
+            # None snapshot and skips the dict save entirely
+            hosts_snapshot = (None if registry is not None
+                              else (hosts if fast_mode else dict(hosts)))
             m = {
                 "epoch": k,
                 "frontier_rows": int(n_frontier),
                 "next_frontier_rows": int(n_next),
                 "seen_size": seen_total,
-                "hosts": len(hosts_snapshot),
+                "hosts": (registry.size if registry is not None
+                          else len(hosts_snapshot)),
                 "wall_sec": round(time.perf_counter() - t0, 3),
                 "t_pipeline": round(t_pipeline, 3),
                 "t_frontier": round(t_frontier, 3),
             }
+            if cfg.hq_feed_dir:
+                m["hq_consumed"] = hq_names
+                m["hq_produced"] = n_hq_produced
             if pending is not None:
                 pending.result()  # commits are ordered: k-1 before k
             pending = committer.submit(
@@ -527,7 +605,7 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
     else:
         pages_meta = pd.DataFrame({"host": [], "type": [],
                                    "n": pd.Series([], dtype="int64")})
-    if fast_mode and len(pages_meta):
+    if fast_mode and hosts_snapshot is not None and len(pages_meta):
         # fast mode skips the per-epoch host-registry aggregate; derive the
         # registry (metrics/checkpoint only) from the fetched hosts here —
         # commits are sequential, so this is the dict's only writer
@@ -538,9 +616,10 @@ def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,
     n_assets = int(pages_meta.loc[pages_meta["type"] == "asset", "n"].sum())
     m["pages_fetched"] = n_pages
     m["assets_fetched"] = n_assets
-    m["hosts"] = len(hosts_snapshot)
-
-    save_hosts(dict(hosts_snapshot), os.path.join(sdir, "hosts.parquet"))
+    if hosts_snapshot is not None:
+        m["hosts"] = len(hosts_snapshot)
+        save_hosts(dict(hosts_snapshot), os.path.join(sdir, "hosts.parquet"))
+    # else: parquet registry backend — durable already, m["hosts"] preset
 
     mdir = _epoch_dir(ckpt_dir, "metrics", k)
     os.makedirs(mdir, exist_ok=True)

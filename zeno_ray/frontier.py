@@ -176,6 +176,161 @@ def candidates_to_frontier_rows(cand_ds, epoch: int):
     return cand_ds.map_batches(shape, batch_format="pandas")
 
 
+class ParquetHostRegistry:
+    """Parquet-backed host→host_seq registry — the scale path this
+    module's docstring promises for host counts past driver memory
+    (``cfg.host_registry="parquet"``, budget mode only).
+
+    The dict backend holds every host ever seen on the driver; this
+    backend keeps the full registry ONLY on disk, as epoch-stamped
+    parquet dirs (``hostreg_epoch_<k>/``) under the checkpoint, so the
+    crash-resume cleanup that governs pages/seen/frontier dirs governs
+    the registry too (a torn epoch's appends are swept and re-derived
+    deterministically on re-run).
+
+    Per-epoch flow (``assign``):
+      1. distinct candidate hosts via a slim groupby aggregate;
+      2. ONE distributed semi-join against the on-disk registry —
+         both sides tagged and unioned, then a coarse-partition
+         groupby(part) with a vectorized pandas merge inside each part
+         (never a raw groupby(host): 10^8 tiny groups is the known
+         map_groups trap) — returning only THIS epoch's distinct hosts
+         to the driver;
+      3. unseen hosts numbered ``size + rank`` ordered by
+         (min seq_order, min seq_pos, host) — byte-identical to the
+         dict backend — and appended durably (tmp+rename);
+      4. the epoch-local host→seq mapping is ``ray.put`` once and
+         attached to candidates in map_batches.
+
+    Driver + broadcast memory is O(hosts touched this epoch), never
+    O(all hosts ever); the registry itself is scanned distributedly.
+    """
+
+    N_PARTS = 64
+
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = ckpt_dir
+        self.size = 0
+
+    @classmethod
+    def open(cls, ckpt_dir: str) -> "ParquetHostRegistry":
+        """Attach to a checkpoint's registry (size from parquet footers —
+        no row reads)."""
+        import pyarrow.parquet as pq
+
+        reg = cls(ckpt_dir)
+        reg.size = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in reg._files())
+        return reg
+
+    def _files(self) -> list[str]:
+        import glob
+        import os
+
+        return sorted(
+            glob.glob(os.path.join(self.ckpt_dir, "hostreg_epoch_*",
+                                   "*.parquet")))
+
+    def _append(self, hosts: list[str], seqs, epoch: int, name: str):
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.ckpt_dir, f"hostreg_epoch_{epoch}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{name}.parquet")
+        t = pa.table({"host": pa.array(hosts, pa.string()),
+                      "host_seq": pa.array(seqs, pa.int64())})
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.rename(tmp, path)
+        self.size += len(hosts)
+
+    def bootstrap(self, hosts: dict[str, int]) -> None:
+        """Seed-load registration (epoch-0 state; re-derived on resume if
+        epoch 0 never committed)."""
+        self._append(list(hosts.keys()), list(hosts.values()), 0, "seed")
+
+    @staticmethod
+    def _part_of(host_series: pd.Series) -> np.ndarray:
+        # deterministic coarse partition key; only within-run consistency
+        # between the two join sides is needed
+        return (pd.util.hash_array(host_series.to_numpy(object))
+                % ParquetHostRegistry.N_PARTS).astype(np.int64)
+
+    def assign(self, cand_ds, epoch: int):
+        """Register new hosts and attach ``host_seq`` to every candidate
+        row. Same semantics as ``assign_host_seq`` (see class doc)."""
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Min
+
+        agg = (
+            cand_ds.groupby("host")
+            .aggregate(Min("seq_order", alias_name="mo"),
+                       Min("seq_pos", alias_name="mp"))
+        )
+
+        def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["host", "mo", "mp"]].copy()
+            out["host_seq"] = np.int64(-1)
+            out["part"] = self._part_of(out["host"])
+            return out
+
+        sides = agg.map_batches(tag_cand, batch_format="pandas")
+        files = self._files()
+        if files:
+
+            def tag_reg(t: pa.Table) -> pd.DataFrame:
+                df = t.to_pandas()
+                df["mo"] = np.int64(-1)
+                df["mp"] = np.int64(-1)
+                df["part"] = self._part_of(df["host"])
+                return df[["host", "mo", "mp", "host_seq", "part"]]
+
+            reg = rd.read_parquet(files).map_batches(
+                tag_reg, batch_format="pyarrow")
+            sides = sides.union(reg)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            cand = g[g["host_seq"] < 0]
+            reg = g[g["host_seq"] >= 0]
+            out = cand[["host", "mo", "mp"]].merge(
+                reg[["host", "host_seq"]], on="host", how="left")
+            out["host_seq"] = out["host_seq"].fillna(-1).astype(np.int64)
+            return out
+
+        touched = (
+            sides.groupby("part").map_groups(merge, batch_format="pandas")
+            .to_pandas()
+        )  # O(hosts touched this epoch) rows — the bounded driver surface
+        if "host" not in touched.columns:  # empty candidate epoch
+            touched = pd.DataFrame({
+                "host": pd.Series([], dtype=object),
+                "mo": pd.Series([], dtype=np.int64),
+                "mp": pd.Series([], dtype=np.int64),
+                "host_seq": pd.Series([], dtype=np.int64)})
+        new = touched[touched["host_seq"] < 0].sort_values(
+            ["mo", "mp", "host"], kind="stable")
+        if len(new):
+            seqs = np.arange(self.size, self.size + len(new), dtype=np.int64)
+            self._append(list(new["host"]), seqs, epoch, "new")
+            touched = pd.concat(
+                [touched[touched["host_seq"] >= 0],
+                 new.assign(host_seq=seqs)], ignore_index=True)
+        mapping = dict(zip(touched["host"], touched["host_seq"]))
+        ref = ray.put(mapping)
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            import ray as _ray
+
+            df = df.copy()
+            df["host_seq"] = df["host"].map(_ray.get(ref)).astype(np.int64)
+            return df
+
+        return cand_ds.map_batches(attach, batch_format="pandas")
+
+
 def save_hosts(hosts: dict[str, int], path: str) -> None:
     import pyarrow.parquet as pq
 
