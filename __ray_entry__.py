@@ -365,6 +365,18 @@ def _q_dedup_minhash(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dedup_ngram(sf_dir: str):
+    import ray.data as rd
+
+    from zeno_ray.ops.dedup import ngram_jaccard_dedup
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return ngram_jaccard_dedup(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_ngram": _q_dedup_ngram,
         "dedup_simhash": _q_dedup_simhash,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,

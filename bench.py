@@ -172,6 +172,13 @@ def run_bench() -> dict:
     minhash_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
     queries["dedup_minhash"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.dedup import ngram_jaccard_dedup
+
+    t = time.perf_counter()
+    ngram_jaccard_dedup(
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])).count()
+    queries["dedup_ngram"] = round(time.perf_counter() - t, 3)
+
     from zeno_ray.ops.dedup import embedding_nn_lsh, simhash_groups
 
     t = time.perf_counter()

@@ -109,6 +109,38 @@ def check_dedup_minhash(got: pd.DataFrame, sf_dir: str) -> None:
         assert best >= 0.5, f"cluster {c} has no truly-similar pair ({best:.2f})"
 
 
+def check_dedup_ngram(got: pd.DataFrame, sf_dir: str) -> None:
+    """EXACT oracle: n-gram Jaccard is deterministic, so the distributed
+    prefix-filtered pipeline must match a brute-force all-pairs
+    union-find on the nose (same partition, min-id labels)."""
+    import numpy as np
+
+    from zeno_ray.ops.dedup import _edges_to_roots, _shingles
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    ids = docs["doc_id"].to_numpy()
+    sets = [np.unique(_shingles(t, 5)) for t in docs["text"]]
+    sizes = np.array([len(s) for s in sets])
+    ea, eb = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            lo, hi = sorted((sizes[i], sizes[j]))
+            if lo < 0.8 * hi:
+                continue  # length filter: Jaccard < threshold guaranteed
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            if inter / max(1, sizes[i] + sizes[j] - inter) >= 0.8:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                ea.append(a)
+                eb.append(b)
+    roots = _edges_to_roots(pd.DataFrame({"a": ea, "b": eb}))
+    want = {int(d): roots.get(int(d), int(d)) for d in ids}
+    got_cl = dict(zip(got["doc_id"].astype(int), got["cluster"].astype(int)))
+    assert got_cl == want, \
+        "distributed ngram-Jaccard clusters != brute-force ground truth"
+
+
 def check_dedup_simhash(got: pd.DataFrame, sf_dir: str) -> None:
     docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
@@ -249,6 +281,7 @@ PY_ORACLES = {
     "doc_langid": check_doc_langid,
     "doc_fingerprint": check_doc_fingerprint,
     "dedup_minhash": check_dedup_minhash,
+    "dedup_ngram": check_dedup_ngram,
     "dedup_simhash": check_dedup_simhash,
     "embedding_near_dup": check_embedding_near_dup,
     "mm_decode": check_mm_decode,

@@ -423,3 +423,35 @@ def test_embedding_near_dup_lsh_finds_planted_pair(emb_ds):
     # the planted near-identical pair shares every hyperplane side, so it
     # must land in one bucket and be reported both ways
     assert (10, 50) in pairs and (50, 10) in pairs
+
+
+def test_ngram_jaccard_dedup_matches_bruteforce(docs_ds):
+    """The prefix-filtered distributed pipeline computes EXACT n-gram
+    Jaccard — its clusters must equal an all-pairs brute-force union-find
+    on the nose (candidate generation is complete, not probabilistic)."""
+    from zeno_ray.ops.dedup import (_edges_to_roots, _shingles,
+                                    ngram_jaccard_dedup)
+
+    out = ngram_jaccard_dedup(docs_ds, k=5, threshold=0.8).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+
+    docs = docs_ds.to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    sets = [np.unique(_shingles(t, 5)) for t in docs["text"]]
+    ea, eb = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            union = len(sets[i]) + len(sets[j]) - inter
+            if inter / max(1, union) >= 0.8:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                ea.append(a)
+                eb.append(b)
+    import pandas as pd
+    roots = _edges_to_roots(pd.DataFrame({"a": ea, "b": eb}))
+    want = {int(d): roots.get(int(d), int(d)) for d in ids}
+    assert got == want
+    # sanity on the fixture: exact dups and the near-dup did cluster
+    assert got[100] == got[0]
+    assert got[102] == got[0]

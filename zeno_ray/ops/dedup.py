@@ -590,6 +590,156 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def _gram_sets_fn(batch: pd.DataFrame, k: int = 5) -> pd.DataFrame:
+    """Per-doc DISTINCT sorted k-gram hash sets (same normalized-text
+    polynomial kernel as MinHash's `_shingles`), plus the set size —
+    the unit of both candidate generation and exact verification."""
+    grams = [np.unique(_shingles(t, k)) for t in batch["text"]]
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"].to_numpy(),
+        "grams": grams,
+        "size": np.fromiter((len(g) for g in grams), dtype=np.int64,
+                            count=len(grams)),
+    })
+
+
+def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
+    """EXACT n-gram-Jaccard near-dup — the deterministic counterpart to
+    ``minhash_dedup`` (which estimates Jaccard from signatures). Returns a
+    streaming Dataset of (doc_id, cluster); two docs share a cluster iff
+    they are connected by pairs with TRUE k-gram-set Jaccard ≥ threshold.
+
+    Scale shape (AllPairs/PPJoin prefix filtering, Bayardo et al. 2007):
+    a pair with J(A,B) ≥ t must share at least one gram within each side's
+    first ``|A| - ceil(t·|A|) + 1`` grams under ANY global total order of
+    grams (here: the hash value order, which also spreads prefix postings
+    uniformly). So only PREFIX grams explode into the inverted index —
+    candidate generation is exact-complete, not probabilistic, while the
+    posting lists stay a (1-t) fraction of the full index. Shuffle
+    discipline is the module standard: coarse hash partitions, vectorized
+    pandas/numpy inside each part, repartition-join of gram sets onto pair
+    sides, and a lexsort-based batch set-intersection for the exact
+    verify (no per-pair Python). Only verified edges reach the driver.
+    """
+    import ray as _ray
+
+    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+        if _ray.is_initialized() else 64
+    grams = docs_ds.map_batches(
+        _gram_sets_fn, fn_kwargs={"k": k},
+        batch_format="pandas", batch_size=1024,
+    ).materialize()  # consumed by the prefix explode AND the verify join
+
+    def prefix_explode(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df["size"].to_numpy()
+        plens = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
+        plens = np.minimum(np.maximum(plens, 1), sizes)
+        gr = np.concatenate([g[:p] for g, p in zip(df["grams"], plens)]) \
+            if len(df) else np.zeros(0, dtype=np.uint64)
+        return pd.DataFrame({
+            "gram": gr,
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), plens),
+            "size": np.repeat(sizes, plens),
+            "part": (gr % np.uint64(n_parts)).astype("int64"),
+        })
+
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g.groupby("gram")["doc_id"].transform("size")
+        g = g[counts >= 2]
+        if g.empty:
+            return _PAIR_EMPTY
+        out_a, out_b = [], []
+        for _, gg in g.groupby("gram", sort=False):
+            ids = gg["doc_id"].to_numpy()
+            sz = gg["size"].to_numpy()
+            o = np.argsort(ids, kind="stable")
+            ids, sz = ids[o], sz[o]
+            a, b = np.meshgrid(ids, ids)
+            sa_, sb_ = np.meshgrid(sz, sz)
+            # length filter: J ≥ t forces t·|B| ≤ |A| (for |A| ≤ |B|)
+            m = (a < b) & (np.minimum(sa_, sb_)
+                           >= threshold * np.maximum(sa_, sb_))
+            out_a.append(a[m])
+            out_b.append(b[m])
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    pairs = (
+        grams.map_batches(prefix_explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_part, batch_format="pandas")
+    )
+
+    # ---- repartition join: gram sets onto pair sides (part = id % n) ----
+    _zero = np.zeros(0, dtype=np.uint64)
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["doc_id"].to_numpy() % n_parts).astype("int64"),
+            "key": df["doc_id"], "a": np.int64(-1), "b": np.int64(-1),
+            "g_a": [_zero] * len(df), "g": list(df["grams"]),
+        })
+
+    def key_by_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["a"].to_numpy() % n_parts).astype("int64"),
+            "key": df["a"], "a": df["a"], "b": df["b"],
+            "g_a": [_zero] * len(df), "g": [_zero] * len(df),
+        })
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        sets_ = g[g["a"] < 0]
+        need = g[g["a"] >= 0]
+        if sets_.empty or need.empty:
+            return g.iloc[:0]
+        set_of = dict(zip(sets_["key"], sets_["g"]))
+        b = need["b"].to_numpy()
+        return pd.DataFrame({
+            "part": (b % n_parts).astype("int64"),
+            "key": b, "a": need["a"].to_numpy(), "b": b,
+            "g_a": list(need["key"].map(set_of)), "g": [_zero] * len(need),
+        })
+
+    def attach_b_and_verify(g: pd.DataFrame) -> pd.DataFrame:
+        sets_ = g[g["a"] < 0]
+        need = g[g["a"] >= 0]
+        if sets_.empty or need.empty:
+            return _PAIR_EMPTY
+        set_of = dict(zip(sets_["key"], sets_["g"]))
+        ga = [np.asarray(x, dtype=np.uint64) for x in need["g_a"]]
+        gb = [np.asarray(set_of[kk], dtype=np.uint64) for kk in need["key"]]
+        la = np.fromiter((len(x) for x in ga), dtype=np.int64, count=len(ga))
+        lb = np.fromiter((len(x) for x in gb), dtype=np.int64, count=len(gb))
+        # batch exact |A∩B|: label every gram with its pair index, lexsort,
+        # count adjacent duplicates per pair — both sides are DISTINCT
+        # within themselves, so a duplicate ⇔ one gram present in both
+        idx = np.arange(len(need), dtype=np.int64)
+        pid = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
+        gr = np.concatenate([np.concatenate(ga) if len(ga) else _zero,
+                             np.concatenate(gb) if len(gb) else _zero])
+        order = np.lexsort((gr, pid))
+        p_s, g_s = pid[order], gr[order]
+        dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=len(need))
+        jac = inter / np.maximum(la + lb - inter, 1)
+        ok = jac >= threshold
+        return pd.DataFrame({"a": need["a"].to_numpy()[ok],
+                             "b": need["b"].to_numpy()[ok]})
+
+    edges = (
+        pairs.map_batches(key_by_a, batch_format="pandas")
+        .union(grams.map_batches(gram_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(attach_a, batch_format="pandas")
+        .union(grams.map_batches(gram_rows, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(attach_b_and_verify, batch_format="pandas")
+        .to_pandas()  # VERIFIED edges only
+        .drop_duplicates()
+    )
+    return attach_cluster_labels(grams.select_columns(["doc_id"]), edges)
+
+
 # ---------------------------------------------------------- embedding cosine
 
 
