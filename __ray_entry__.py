@@ -4,15 +4,15 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 30 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 31 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
 without a SQL equivalent (minhash/simhash/embedding near-dup, language-ID,
 fingerprint, multimodal, enrich) carry driver-independent python oracles
 in scripts/check_oracles.py (sequential re-execution / semantic ground
-truth); only ``crawl_budget_order`` is rows-only — the sequential rotation
-contract, verified against the simulator in pytest instead.
+truth); ``crawl_budget_order`` is checked by a sequential epoch-BSP
+replay (``simulator.simulate_crawl_budget``) — no query is rows-only.
 
 Ray is initialised by the driver — nothing here calls ray.init/shutdown.
 """
@@ -493,8 +493,9 @@ def _q_crawl_budget_order(sf_dir: str):
     """Politeness-budget mode: a bounded crawl with host_budget=8 and
     strict (byte-deterministic) candidate dedupe. Returns the fetched
     (url, hop) set — exercises the groupby(host) rank/budget/carryover
-    shuffle end-to-end. Rows-only (rotation order is the sequential
-    contract, not SQL-expressible)."""
+    shuffle end-to-end. Not SQL-expressible (budget hops are not
+    BFS-minimal); its oracle is the sequential epoch-BSP replay in
+    ``scripts/check_oracles.py`` (``simulate_crawl_budget``)."""
     import os as _os
 
     from zeno_ray import ENGINE_VERSION

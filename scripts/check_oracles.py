@@ -276,8 +276,31 @@ def check_ann_topk_ivf(got: pd.DataFrame, sf_dir: str) -> None:
         assert abs(float(s) - true) < 1e-4, f"sim mismatch ({qi},{vid})"
 
 
+def check_crawl_budget_order(got: pd.DataFrame, sf_dir: str) -> None:
+    """Sequential epoch-BSP replay of the budget-mode contract
+    (``simulate_crawl_budget``: rank/budget/carryover, redirect
+    seenchecks, strict within-epoch dedupe, host registry order) — the
+    distributed crawl's (url, hop) seed set must match it exactly."""
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.corpus import CorpusSpec, sf_of_dir
+    from zeno_ray.simulator import simulate_crawl_budget
+
+    spec = CorpusSpec.for_sf(sf_of_dir(sf_dir))
+    cfg = CrawlConfig(max_hops=3, max_epochs=10, host_budget=8,
+                      seen_shards=8, fetch_concurrency=4)
+    sim = simulate_crawl_budget(spec, cfg)
+    got_map = dict(zip(got["url"], got["hop"].astype(int)))
+    want = {u: int(h) for u, h in sim.crawled_pages.items()}
+    assert got_map == want, (
+        f"budget crawl (url, hop) set != sequential epoch replay: "
+        f"{len(got_map)} vs {len(want)} rows; "
+        f"only-got={list(set(got_map) - set(want))[:3]} "
+        f"only-sim={list(set(want) - set(got_map))[:3]}")
+
+
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
+    "crawl_budget_order": check_crawl_budget_order,
     "doc_langid": check_doc_langid,
     "doc_fingerprint": check_doc_fingerprint,
     "dedup_minhash": check_dedup_minhash,

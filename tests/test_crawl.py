@@ -531,3 +531,31 @@ def test_hq_bare_url_sideload(tmp_path):
     pages = res.pages_dataset().to_pandas()
     assert sideload_url in set(pages["url"])
     assert res.metrics[0]["hq_consumed"] == ["external-0.parquet"]
+
+
+# ----------------------------------------- budget-mode sequential replay
+
+
+def test_budget_crawl_matches_epoch_replay(tmp_path):
+    """simulate_crawl_budget (the driver-independent python oracle for
+    crawl_budget_order) replays the budget-mode epoch-BSP contract:
+    the distributed crawl's seed (url, hop) set must match it exactly,
+    including carryover truncation from a tight max_epochs."""
+    from zeno_ray.simulator import simulate_crawl_budget
+
+    spec = CorpusSpec(n_hosts=4, pages_per_host=10, seed_stride=2)
+    cfg = CrawlConfig(max_hops=3, max_epochs=4, seen_shards=2,
+                      fetch_concurrency=2, host_budget=2)
+    res = run_crawl(spec, cfg, str(tmp_path / "ckpt"), strict_dedupe=True)
+    pages = res.pages_dataset().to_pandas()
+    got = dict(zip(pages[pages["type"] == "seed"]["url"],
+                   pages[pages["type"] == "seed"]["hop"].astype(int)))
+
+    sim = simulate_crawl_budget(spec, cfg)
+    assert got == {u: int(h) for u, h in sim.crawled_pages.items()}
+    # the tight epoch budget must actually leave backlog unfetched —
+    # otherwise this is just the BFS reach set and the replay is untested
+    full = simulate_crawl_budget(
+        spec, CrawlConfig(max_hops=3, max_epochs=64, seen_shards=2,
+                          fetch_concurrency=2, host_budget=2))
+    assert len(full.crawled_pages) > len(sim.crawled_pages)

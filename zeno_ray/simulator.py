@@ -141,3 +141,159 @@ def simulate_crawl(spec: CorpusSpec, cfg: CrawlConfig,
         fetch(url, hop, as_asset=False)
 
     return res
+
+
+def simulate_crawl_budget(spec: CorpusSpec, cfg: CrawlConfig,
+                          seeds: list[str] | None = None) -> SimResult:
+    """Sequential replay of the BUDGET-mode epoch-BSP contract — the
+    driver-independent oracle for the ``crawl_budget_order`` query.
+
+    Unlike ``simulate_crawl`` (the reference's one-item-at-a-time
+    rotation), this replays the engine's epoch semantics exactly, with
+    plain Python lists instead of Datasets/actors:
+
+    - per-epoch rank/budget/carryover (``frontier.rank_frontier``): per
+      host, page ("seed") items ranked in (seq_epoch, seq_order, seq_pos)
+      enqueue order, first ``host_budget`` fetched, rest carried; assets
+      are budget-exempt (rank −1);
+    - fetch order key = rank·2³¹ + host_seq (``ORDER_RANK_SHIFT``);
+    - redirect chains: emit the hop row, then seen-check-and-add the
+      target (``fetch.py`` wave semantics, sequentialized);
+    - extract/candidate gates as ``ExtractStage``/``CandidateStage``:
+      outlinks gated by ``max_hops >= hop+1`` (hop = parent+1), assets
+      keep the parent's hop, M3U8 assets recurse via next-epoch
+      candidates;
+    - strict within-epoch dedupe: winner by (seq_order, seq_pos,
+      parent_url) per URL (``dedupe_candidates_within_epoch(strict)``);
+    - seen-filter at enqueue; new hosts registered in
+      (min seq_order, min seq_pos, host) order (``assign_host_seq``);
+    - stop after ``max_epochs`` epochs or an empty frontier.
+
+    Assumes cfg has robots off, no plugins, no domains_crawl (the
+    query's config). ``crawled_pages`` maps seed-type fetched URL → hop.
+    """
+    assert not cfg.robots_enforce and not cfg.domains_crawl
+    is_excluded = make_is_excluded(cfg)
+    res = SimResult()
+    shift = 1 << 31
+
+    # --- seed load (seed_frontier + seed seencheck) ---
+    hosts: dict[str, int] = {}
+    frontier: list[tuple] = []  # (url, host, hop, typ, parent, se, so, sp)
+    for i, raw in enumerate(seeds if seeds is not None else spec.seeds()):
+        c = canonicalize(raw)
+        if not c or not is_valid_url(c) or c in res.seen:
+            continue
+        res.seen.add(c)
+        h = host_of(c)
+        if h not in hosts:
+            hosts[h] = len(hosts)
+        frontier.append((c, h, 0, "seed", "", -1, i, 0))
+
+    for epoch in range(cfg.max_epochs):
+        if not frontier:
+            break
+        # --- rank/budget split ---
+        by_host: dict[str, list] = {}
+        for row in frontier:
+            by_host.setdefault(row[1], []).append(row)
+        fetch_rows: list[tuple] = []  # (order, row)
+        carry: list[tuple] = []
+        for h, rows in by_host.items():
+            rows.sort(key=lambda r: (r[5], r[6], r[7]))
+            rank = 0
+            for r in rows:
+                if r[3] == "seed":
+                    this_rank, rank = rank, rank + 1
+                else:
+                    this_rank = -1  # assets are budget-exempt
+                if this_rank < cfg.host_budget:
+                    fetch_rows.append(
+                        (max(this_rank, 0) * shift + hosts[h], r))
+                else:
+                    carry.append(r)
+        fetch_rows.sort(key=lambda t: t[0])
+
+        # --- fetch (retries, redirect chains with mid-chain seenchecks) ---
+        emitted: list[tuple] = []  # (url, rec, hop, typ, order)
+        for order, (url, _h, hop, typ, parent, *_seq) in fetch_rows:
+            cur, depth = url, 0
+            while True:
+                rec = spec.lookup(cur)
+                if rec.attempts_needed >= cfg.max_retry:
+                    break  # gave up (permanent-429)
+                emitted.append((cur, rec, hop, typ, order))
+                if typ == "seed":
+                    res.crawled_pages[cur] = hop
+                else:
+                    res.crawled_assets.append(cur)
+                if rec.status in REDIRECT_STATUSES and rec.redirect_location:
+                    target = canonicalize(
+                        make_absolute(cur, rec.redirect_location))
+                    if target and target != cur and target not in res.seen:
+                        # the engine seen-marks the target even when the
+                        # chain is about to hit the redirect cap
+                        res.seen.add(target)
+                        if depth + 1 <= cfg.max_redirect:
+                            cur, depth = target, depth + 1
+                            continue
+                break
+
+        # --- extract + candidate gates (ExtractStage/CandidateStage) ---
+        cands: list[tuple] = []  # (url, hop, typ, parent, so, sp)
+        for url, rec, hop, typ, order in emitted:
+            if rec.status != 200:
+                continue
+            if typ == "asset":
+                if not is_m3u8_content_type(rec.content_type) or \
+                        cfg.disable_assets_capture:
+                    continue
+                ext = extract_from_page(url, rec.html, rec.content_type,
+                                        server=rec.server,
+                                        is_excluded=is_excluded)
+                for p, a in enumerate(ext.assets):
+                    cands.append((a, hop, "asset", url, order, p))
+                continue
+            ext = extract_from_page(
+                url, rec.html, rec.content_type,
+                link_header=rec.link_header, server=rec.server,
+                disabled_tags=frozenset(cfg.disabled_html_tags),
+                capture_alternate_pages=cfg.capture_alternate_pages,
+                is_excluded=is_excluded,
+            )
+            pos = 0
+            for o in ext.outlinks:
+                if cfg.max_hops >= hop + 1:
+                    cands.append((o, hop + 1, "seed", url, order, pos))
+                pos += 1
+            if not cfg.disable_assets_capture:
+                for a in ext.assets:
+                    cands.append((a, hop, "asset", url, order, pos))
+                    pos += 1
+
+        # --- strict dedupe → seen filter ---
+        cands.sort(key=lambda c: (c[4], c[5], c[3]))
+        new_rows: list[tuple] = []
+        taken: set[str] = set()
+        for url, hop, typ, parent, so, sp in cands:
+            if url in taken or url in res.seen:
+                continue
+            taken.add(url)
+            new_rows.append((url, host_of(url), hop, typ, parent,
+                             epoch, so, sp))
+        res.seen.update(taken)
+
+        # --- host registry: new hosts by (min so, min sp, host) ---
+        agg: dict[str, list] = {}
+        for r in new_rows:
+            a = agg.setdefault(r[1], [r[6], r[7]])
+            a[0] = min(a[0], r[6])
+            a[1] = min(a[1], r[7])
+        for h, _ in sorted(((h, a) for h, a in agg.items()
+                            if h not in hosts),
+                           key=lambda t: (t[1][0], t[1][1], t[0])):
+            hosts[h] = len(hosts)
+
+        frontier = new_rows + carry
+
+    return res
