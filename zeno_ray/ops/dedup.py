@@ -1,8 +1,9 @@
 """Deduplication over the ``documents`` table — exact and near-dup.
 
 Scale shapes (ray_guide + MinHash/LSH literature, Broder 1997):
-- exact: vectorized content-hash column → groupby(hash) keep-first — ONE
-  all-to-all over (hash, doc_id) pairs only, never the text;
+- exact: vectorized content-hash column → within-batch pre-dedupe →
+  coarse-partition keep-first — ONE all-to-all over (hash, doc_id)
+  pairs only, never the text;
 - MinHash+LSH: per-batch shingle→minhash signatures (numpy), band explode,
   coarse-partition keyed shuffles for candidate pairs and the signature
   repartition join, vectorized signature-Jaccard verify, driver union-find
@@ -65,18 +66,44 @@ def add_text_hash(df: pd.DataFrame, col: str = "text") -> pd.DataFrame:
     return out
 
 
+def _coarse_n_parts() -> int:
+    """Coarse shuffle-partition count (a few per core) — the module's
+    standard alternative to raw-key groupbys."""
+    import ray as _ray
+
+    return max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+        if _ray.is_initialized() else 64
+
+
 def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the lowest-id row per exact text: map_batches hash → groupby
-    keep-first. Returns a Dataset of the surviving rows' ids + hash."""
+    """Keep the lowest-id row per exact text. Returns a Dataset of the
+    surviving rows' ids + hash.
+
+    Shuffle shape: within-batch pre-dedupe (combiner) → coarse-partition
+    keyed shuffle (part = hash % n_parts, so every copy of a text lands
+    in one part) → ONE vectorized sort + drop_duplicates per part. Never
+    a raw ``groupby(hash)``: at 10^9 docs that is ~10^9 tiny pandas
+    groups, each paying Python dispatch."""
+    n_parts = _coarse_n_parts()
     hashed = docs_ds.map_batches(add_text_hash, batch_format="pandas")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="stable").iloc[:1]
+    def to_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "text_hash"]].sort_values(
+            ["text_hash", id_col], kind="stable"
+        ).drop_duplicates("text_hash", keep="first")
+        out = out.assign(part=(out["text_hash"].to_numpy(np.uint64)
+                               % np.uint64(n_parts)).astype("int64"))
+        return out
+
+    def first_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_hash", id_col], kind="stable")
+        return g.drop_duplicates("text_hash", keep="first")[
+            [id_col, "text_hash"]]
 
     return (
-        hashed.select_columns([id_col, "text_hash"])
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        hashed.map_batches(to_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(first_in_part, batch_format="pandas")
     )
 
 
@@ -277,8 +304,7 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
     """
     import ray as _ray
 
-    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
-        if _ray.is_initialized() else 64
+    n_parts = _coarse_n_parts()
     sigs = docs_ds.map_batches(
         _minhash_fn, fn_kwargs={"n_perm": n_perm},
         batch_format="pandas", batch_size=1024,
@@ -513,8 +539,7 @@ def simhash_groups(docs_ds, max_hamming: int = 3, n_bands: int = 4
 
     import ray as _ray
 
-    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
-        if _ray.is_initialized() else 64
+    n_parts = _coarse_n_parts()
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy().astype(np.uint64)
@@ -623,8 +648,7 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     """
     import ray as _ray
 
-    n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
-        if _ray.is_initialized() else 64
+    n_parts = _coarse_n_parts()
     grams = docs_ds.map_batches(
         _gram_sets_fn, fn_kwargs={"k": k},
         batch_format="pandas", batch_size=1024,
@@ -853,16 +877,29 @@ def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
         return pd.DataFrame({"vec_id": ids[ok], "dup_of": ids[best][ok],
                              "sim": best_sim[ok]})
 
-    def global_best(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", "dup_of"], ascending=[False, True],
-                          kind="stable")
-        return g.iloc[:1]
+    # global-best reduce: per-batch combiner + coarse-partition shuffle
+    # (part = vec_id % n_parts), one vectorized sort/drop_duplicates per
+    # part — never a raw groupby(vec_id) (tiny-groups trap at 10^9 rows)
+    n_parts = _coarse_n_parts()
+
+    def best_per_vec(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["vec_id", "sim", "dup_of"],
+                            ascending=[True, False, True], kind="stable")
+        return df.drop_duplicates("vec_id", keep="first")
+
+    def combine_to_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = best_per_vec(df)
+        return df.assign(part=(df["vec_id"].to_numpy(np.int64)
+                               % n_parts).astype("int64"))
 
     out = (
         bucketed.groupby("bucket")
         .map_groups(local_best, batch_format="pandas")
-        .groupby("vec_id")
-        .map_groups(global_best, batch_format="pandas")
+        .map_batches(combine_to_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: best_per_vec(g)[["vec_id", "dup_of", "sim"]],
+            batch_format="pandas")
     )
 
     def thresh(df: pd.DataFrame) -> pd.DataFrame:
