@@ -646,8 +646,6 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     sides, and a lexsort-based batch set-intersection for the exact
     verify (no per-pair Python). Only verified edges reach the driver.
     """
-    import ray as _ray
-
     n_parts = _coarse_n_parts()
     grams = docs_ds.map_batches(
         _gram_sets_fn, fn_kwargs={"k": k},
@@ -678,86 +676,159 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             sz = gg["size"].to_numpy()
             o = np.argsort(ids, kind="stable")
             ids, sz = ids[o], sz[o]
-            a, b = np.meshgrid(ids, ids)
-            sa_, sb_ = np.meshgrid(sz, sz)
-            # length filter: J ≥ t forces t·|B| ≤ |A| (for |A| ≤ |B|)
-            m = (a < b) & (np.minimum(sa_, sb_)
-                           >= threshold * np.maximum(sa_, sb_))
-            out_a.append(a[m])
-            out_b.append(b[m])
+            # row-chunked broadcasting: a hot (template) gram's posting
+            # list can reach 10^3-10^4 docs — bound the m×m transient
+            for lo in range(0, len(ids), 2048):
+                ia = ids[lo:lo + 2048][:, None]
+                sa_ = sz[lo:lo + 2048][:, None]
+                # length filter: J ≥ t forces t·|B| ≤ |A| (for |A| ≤ |B|)
+                m = (ia < ids[None, :]) & (
+                    np.minimum(sa_, sz[None, :])
+                    >= threshold * np.maximum(sa_, sz[None, :]))
+                out_a.append(np.broadcast_to(ia, m.shape)[m])
+                out_b.append(np.broadcast_to(ids[None, :], m.shape)[m])
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)}).drop_duplicates()
+
+    # global slim dedupe BEFORE the block join: one pair is re-emitted
+    # once per distinct part holding a shared prefix gram (template-heavy
+    # corpora share tens of low-hash grams per pair, a 10-40× row
+    # inflation if left to the fatter block shuffle — measured 7× slower
+    # when folded into the block-join dedupe)
+    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["a"].to_numpy() % n_parts).astype("int64"),
+            "a": df["a"], "b": df["b"],
+        })
 
     pairs = (
         grams.map_batches(prefix_explode, batch_format="pandas")
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
+        .map_batches(key_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates(["a", "b"]),
+                    batch_format="pandas")
     )
 
-    # ---- repartition join: gram sets onto pair sides (part = id % n) ----
+    # ---- block-grid verify join ----
+    # A per-pair set attachment ships each doc's gram set once PER PAIR —
+    # with p pairs per doc (template corpora: thousands) that is a p×
+    # replication. The grid join ships each set once per BLOCK instead:
+    # pairs route to block (a%P, b%P); every doc's set is replicated to
+    # its P A-role blocks and P B-role blocks (P× replication, P ≈
+    # sqrt(parts)), and the block group verifies all its pairs locally.
     _zero = np.zeros(0, dtype=np.uint64)
+    P = max(8, int(np.sqrt(n_parts)))
 
-    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def pair_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(np.int64)
+        b = df["b"].to_numpy(np.int64)
         return pd.DataFrame({
-            "part": (df["doc_id"].to_numpy() % n_parts).astype("int64"),
-            "key": df["doc_id"], "a": np.int64(-1), "b": np.int64(-1),
-            "g_a": [_zero] * len(df), "g": list(df["grams"]),
+            "part": (a % P) * P + (b % P), "a": a, "b": b,
+            "role": np.int8(0), "key": np.int64(-1),
+            "g": [_zero] * len(df),
         })
 
-    def key_by_a(df: pd.DataFrame) -> pd.DataFrame:
+    def set_blocks(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy(np.int64)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "part": pd.Series([], dtype=np.int64),
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "role": pd.Series([], dtype=np.int8),
+                "key": pd.Series([], dtype=np.int64), "g": []})
+        j = np.arange(P, dtype=np.int64)
+        # A-role: blocks (d%P)*P + j ; B-role: blocks j*P + (d%P)
+        part_a = ((d % P)[:, None] * P + j[None, :]).ravel()
+        part_b = (j[None, :] * P + (d % P)[:, None]).ravel()
+        keys = np.repeat(d, P)
+        g_rep = list(np.repeat(df["grams"].to_numpy(), P))
         return pd.DataFrame({
-            "part": (df["a"].to_numpy() % n_parts).astype("int64"),
-            "key": df["a"], "a": df["a"], "b": df["b"],
-            "g_a": [_zero] * len(df), "g": [_zero] * len(df),
+            "part": np.concatenate([part_a, part_b]),
+            "a": np.int64(-1), "b": np.int64(-1),
+            "role": np.repeat(np.array([1, 2], dtype=np.int8), n * P),
+            "key": np.concatenate([keys, keys]),
+            "g": g_rep + g_rep,
         })
 
-    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
-        sets_ = g[g["a"] < 0]
-        need = g[g["a"] >= 0]
-        if sets_.empty or need.empty:
-            return g.iloc[:0]
-        set_of = dict(zip(sets_["key"], sets_["g"]))
-        b = need["b"].to_numpy()
-        return pd.DataFrame({
-            "part": (b % n_parts).astype("int64"),
-            "key": b, "a": need["a"].to_numpy(), "b": b,
-            "g_a": list(need["key"].map(set_of)), "g": [_zero] * len(need),
-        })
-
-    def attach_b_and_verify(g: pd.DataFrame) -> pd.DataFrame:
-        sets_ = g[g["a"] < 0]
-        need = g[g["a"] >= 0]
-        if sets_.empty or need.empty:
-            return _PAIR_EMPTY
-        set_of = dict(zip(sets_["key"], sets_["g"]))
-        ga = [np.asarray(x, dtype=np.uint64) for x in need["g_a"]]
-        gb = [np.asarray(set_of[kk], dtype=np.uint64) for kk in need["key"]]
+    def _verify_lexsort(pa_, pb_, ga, gb) -> np.ndarray:
         la = np.fromiter((len(x) for x in ga), dtype=np.int64, count=len(ga))
         lb = np.fromiter((len(x) for x in gb), dtype=np.int64, count=len(gb))
         # batch exact |A∩B|: label every gram with its pair index, lexsort,
         # count adjacent duplicates per pair — both sides are DISTINCT
         # within themselves, so a duplicate ⇔ one gram present in both
-        idx = np.arange(len(need), dtype=np.int64)
+        idx = np.arange(len(pa_), dtype=np.int64)
         pid = np.concatenate([np.repeat(idx, la), np.repeat(idx, lb)])
         gr = np.concatenate([np.concatenate(ga) if len(ga) else _zero,
                              np.concatenate(gb) if len(gb) else _zero])
         order = np.lexsort((gr, pid))
         p_s, g_s = pid[order], gr[order]
         dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
-        inter = np.bincount(p_s[1:][dup], minlength=len(need))
-        jac = inter / np.maximum(la + lb - inter, 1)
-        ok = jac >= threshold
-        return pd.DataFrame({"a": need["a"].to_numpy()[ok],
-                             "b": need["b"].to_numpy()[ok]})
+        inter = np.bincount(p_s[1:][dup], minlength=len(pa_))
+        return inter / np.maximum(la + lb - inter, 1)
+
+    _MASK_VOCAB_MAX = 1 << 16  # local-vocab mask path cutoff (512 KiB masks)
+
+    def verify_block(g: pd.DataFrame) -> pd.DataFrame:
+        role = g["role"].to_numpy()
+        prs = g[role == 0]
+        if prs.empty:
+            return _PAIR_EMPTY
+        aset = dict(zip(g["key"].to_numpy()[role == 1], g["g"][role == 1]))
+        bset = dict(zip(g["key"].to_numpy()[role == 2], g["g"][role == 2]))
+        pa_ = prs["a"].to_numpy()
+        pb_ = prs["b"].to_numpy()
+        docs = {int(d): np.asarray(aset[d], dtype=np.uint64)
+                for d in np.unique(pa_)}
+        docs.update({int(d): np.asarray(bset[d], dtype=np.uint64)
+                     for d in np.unique(pb_)})
+        vocab = np.unique(np.concatenate(list(docs.values()))) \
+            if docs else _zero
+        tot = sum(len(v) for v in docs.values())
+        if len(vocab) <= _MASK_VOCAB_MAX and len(vocab) * 8 < tot * 64:
+            # template-heavy block (tiny shared vocabulary): bitmask over
+            # the block-local vocab + vectorized popcount per pair — the
+            # adaptive fast path; degenerate corpora hit exactly this
+            W = (len(vocab) + 63) // 64
+            masks = {}
+            sizes = {}
+            for d, v in docs.items():
+                ix = np.searchsorted(vocab, v).astype(np.uint64)
+                m = np.zeros(W, dtype=np.uint64)
+                np.bitwise_or.at(m, (ix >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (ix & np.uint64(63)))
+                masks[d] = m
+                sizes[d] = len(v)
+            MA = np.stack([masks[int(d)] for d in pa_])
+            MB = np.stack([masks[int(d)] for d in pb_])
+            inter = _popcount64(MA & MB).sum(axis=1)
+            sa = np.fromiter((sizes[int(d)] for d in pa_), dtype=np.int64,
+                             count=len(pa_))
+            sb = np.fromiter((sizes[int(d)] for d in pb_), dtype=np.int64,
+                             count=len(pb_))
+            jac = inter / np.maximum(sa + sb - inter, 1)
+            ok = jac >= threshold
+            return pd.DataFrame({"a": pa_[ok], "b": pb_[ok]})
+        # general path: chunked lexsort set-intersection (bounds the
+        # working set when pairs × set sizes are large)
+        ch = 1 << 14
+        outs = []
+        for lo in range(0, len(pa_), ch):
+            ca, cb = pa_[lo:lo + ch], pb_[lo:lo + ch]
+            jac = _verify_lexsort(ca, cb, [docs[int(d)] for d in ca],
+                                  [docs[int(d)] for d in cb])
+            ok = jac >= threshold
+            outs.append(pd.DataFrame({"a": ca[ok], "b": cb[ok]}))
+        return pd.concat(outs, ignore_index=True) if outs else _PAIR_EMPTY
 
     edges = (
-        pairs.map_batches(key_by_a, batch_format="pandas")
-        .union(grams.map_batches(gram_rows, batch_format="pandas"))
+        pairs.map_batches(pair_blocks, batch_format="pandas")
+        .union(grams.map_batches(set_blocks, batch_format="pandas"))
         .groupby("part")
-        .map_groups(attach_a, batch_format="pandas")
-        .union(grams.map_batches(gram_rows, batch_format="pandas"))
-        .groupby("part")
-        .map_groups(attach_b_and_verify, batch_format="pandas")
+        .map_groups(verify_block, batch_format="pandas")
         .to_pandas()  # VERIFIED edges only
         .drop_duplicates()
     )

@@ -15,7 +15,7 @@ import ray.data as rd
 
 from zeno_ray.config import CrawlConfig, make_is_excluded
 from zeno_ray.extract import extract_from_page
-from zeno_ray.urlnorm import canonicalize, host_of
+from zeno_ray.urlnorm import canonicalize
 
 
 def read_pages(corpus_dir: str, columns=None):
@@ -197,9 +197,16 @@ def host_stats(corpus_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        hosts = [host_of(u) for u in batch["url"].to_pylist()]
-        nbytes = pc.binary_length(batch["html"]).to_pylist()
-        df = pd.DataFrame({"host": hosts, "n_bytes": nbytes})
+        from zeno_ray.stages import _host_arrow
+
+        urls = batch["url"].combine_chunks()
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.chunk(0) if urls.num_chunks else \
+                pa.array([], pa.string())
+        hosts = _host_arrow(urls)
+        nbytes = pc.binary_length(batch["html"])
+        df = pd.DataFrame({"host": hosts.to_pylist(),
+                           "n_bytes": nbytes.to_pylist()})
         g = df.groupby("host", as_index=False).agg(
             n_pages=("n_bytes", "size"), n_bytes=("n_bytes", "sum")
         )
