@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 31 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 32 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -353,6 +353,33 @@ def _q_ann_topk_ivf(sf_dir: str):
     return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
 
+def _q_ann_topk_lsh(sf_dir: str):
+    """Random-hyperplane LSH approximate top-k for the same three queries
+    as ann_topk; python-oracled for recall ≥ 0.8 vs brute-force truth plus
+    every reported sim == true cosine. Uniform-random embeddings are the
+    LSH worst case (no cluster structure; hamming≤2 measured recall 0.7
+    here), so the query probes hamming≤3 of 6 planes (42/64 buckets ≈ 66%
+    of rows — same worst-case regime as ann_topk_ivf's nprobe=12/16;
+    clustered real embeddings recall ≥0.93 at hamming≤1-2 of 3-8 planes,
+    see test_lsh_topk_recall)."""
+    import ray.data as rd
+
+    from zeno_ray.ops.ann import lsh_topk
+
+    _quiet()
+    pdf = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    queries = np.stack(
+        pdf[pdf["vec_id"].isin([0, 1, 2])].sort_values("vec_id")["embedding"].to_numpy()
+    )
+    out = lsh_topk(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        queries, k=10, n_planes=6, max_hamming=3,
+    )[["q", "vec_id", "sim"]]
+    out["q"] = out["q"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
+
+
 def _q_dedup_minhash(sf_dir: str):
     import ray.data as rd
 
@@ -613,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_totals": _q_doc_token_totals,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_ngram": _q_dedup_ngram,
         "dedup_simhash": _q_dedup_simhash,

@@ -276,6 +276,31 @@ def check_ann_topk_ivf(got: pd.DataFrame, sf_dir: str) -> None:
         assert abs(float(s) - true) < 1e-4, f"sim mismatch ({qi},{vid})"
 
 
+def check_ann_topk_lsh(got: pd.DataFrame, sf_dir: str) -> None:
+    """Ground truth: exact cosine top-10 per query from numpy; the LSH
+    result (n_planes=6, hamming≤3 — a 42/64-bucket probe) must have
+    recall ≥ 0.8 on these worst-case uniform embeddings and every
+    reported sim must equal the true cosine of its (q, vec_id) pair."""
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    ids = emb["vec_id"].to_numpy()
+    idx = {int(v): i for i, v in enumerate(ids)}
+    q = mat[[idx[0], idx[1], idx[2]]]
+    sims = mat @ q.T
+    hits = total = 0
+    for qi in range(3):
+        order = np.argsort(-sims[:, qi], kind="stable")[:10]
+        true_top = {int(ids[i]) for i in order}
+        got_top = set(got[got["q"] == qi]["vec_id"].astype(int))
+        hits += len(true_top & got_top)
+        total += 10
+    assert hits / total >= 0.8, f"LSH recall {hits}/{total} < 0.8"
+    for qi, vid, s in zip(got["q"], got["vec_id"], got["sim"]):
+        true = sims[idx[int(vid)], int(qi)]
+        assert abs(float(s) - true) < 1e-4, f"sim mismatch ({qi},{vid})"
+
+
 def check_crawl_budget_order(got: pd.DataFrame, sf_dir: str) -> None:
     """Sequential epoch-BSP replay of the budget-mode contract
     (``simulate_crawl_budget``: rank/budget/carryover, redirect
@@ -300,6 +325,7 @@ def check_crawl_budget_order(got: pd.DataFrame, sf_dir: str) -> None:
 
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
+    "ann_topk_lsh": check_ann_topk_lsh,
     "crawl_budget_order": check_crawl_budget_order,
     "doc_langid": check_doc_langid,
     "doc_fingerprint": check_doc_fingerprint,

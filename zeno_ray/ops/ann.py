@@ -74,14 +74,18 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10) -> pd.DataFrame:
 
 
 def probe_signatures(sig: int, n_planes: int, max_hamming: int) -> list[int]:
-    """All signatures within *max_hamming* (≤2) bit flips of *sig* —
-    the multi-probe expansion set, in deterministic order."""
+    """All signatures within *max_hamming* bit flips of *sig* — the
+    multi-probe expansion set, in deterministic order (radius-major,
+    lexicographic bit combinations within each radius)."""
+    from itertools import combinations
+
     out = [sig]
-    if max_hamming >= 1:
-        out += [sig ^ (1 << b) for b in range(n_planes)]
-    if max_hamming >= 2:
-        out += [sig ^ (1 << a) ^ (1 << b)
-                for a in range(n_planes) for b in range(a + 1, n_planes)]
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            out.append(sig ^ flip)
     return out
 
 

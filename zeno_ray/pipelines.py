@@ -190,8 +190,6 @@ def host_stats(corpus_dir: str):
     """Per-host page counts and byte totals, host derived by vectorized
     canonical-host extraction; pre-aggregated per batch before the small
     groupby."""
-    import pandas as pd
-
     ds = read_pages(corpus_dir, columns=["url", "html"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -204,13 +202,11 @@ def host_stats(corpus_dir: str):
             urls = urls.chunk(0) if urls.num_chunks else \
                 pa.array([], pa.string())
         hosts = _host_arrow(urls)
-        nbytes = pc.binary_length(batch["html"])
-        df = pd.DataFrame({"host": hosts.to_pylist(),
-                           "n_bytes": nbytes.to_pylist()})
-        g = df.groupby("host", as_index=False).agg(
-            n_pages=("n_bytes", "size"), n_bytes=("n_bytes", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        nbytes = pc.cast(pc.binary_length(batch["html"]), pa.int64())
+        slim = pa.table({"host": hosts, "n_bytes": nbytes})
+        g = slim.group_by("host").aggregate(
+            [("n_bytes", "count"), ("n_bytes", "sum")])
+        return g.rename_columns(["host", "n_pages", "n_bytes"])
 
     from ray.data.aggregate import Sum
 
