@@ -212,3 +212,83 @@ def test_canonical_fast_path_fuzz_equivalence():
     for u in urls:
         if _CANON_FAST.match(u):
             assert canonicalize(u) == u and is_valid_url(u), u
+
+
+def test_make_absolute_fuzz_equivalence_with_urljoin():
+    """Randomized cross-check of ALL make_absolute fast paths (absolute
+    as-is, root-relative origin-concat, protocol-relative scheme-concat,
+    and the \\t/\\n/\\r and dot-segment bail-outs) against urljoin."""
+    import random
+    from urllib.parse import urljoin
+
+    from zeno_ray.urlnorm import _ORIGIN_RE, _make_absolute_fast, make_absolute
+
+    rng = random.Random(7)
+    # ';' excluded: urljoin round-trips through urlparse/urlunparse, which
+    # drops a bare trailing ';' (empty params) — Go's ResolveReference
+    # (the reference semantics, utils/url.go:78-86) keeps it, and so do
+    # the fast paths. That intentional deviation is asserted separately.
+    seg_alphabet = list("abz09-._~%!$&,=:@äé \t\n.")
+    bases = [
+        "https://base.example/d/p.html",
+        "http://b.example:8080/x?q=1",
+        "https://b.example",
+        "http://b\t.example/x",  # base with stripped whitespace
+    ]
+
+    def rand_ref():
+        kind = rng.randrange(8)
+        seg = "".join(rng.choice(seg_alphabet) for _ in range(rng.randint(0, 10)))
+        if kind == 0:
+            return f"https://abs.example/{seg}"
+        if kind == 1:
+            return f"/{seg}"
+        if kind == 2:
+            return f"//other.example/{seg}"
+        if kind == 3:
+            return seg  # relative path
+        if kind == 4:
+            return f"/{seg}/../x"
+        if kind == 5:
+            return f"?q={seg}"
+        if kind == 6:
+            return f"/\t/{seg}"  # whitespace-strip structure change
+        return f"#{seg}"
+
+    for base in bases:
+        origin_m = _ORIGIN_RE.match(base) if not any(
+            c in base for c in "\t\n\r") else None
+        for _ in range(2000):
+            u = rand_ref()
+            want = urljoin(base, u)
+            assert make_absolute(base, u) == want, (base, u)
+            assert _make_absolute_fast(base, origin_m, u) == want, (base, u)
+
+
+def test_host_of_fast_path_matches_urlsplit():
+    from urllib.parse import urlsplit
+
+    from zeno_ray.urlnorm import host_of
+
+    cases = [
+        "https://h.example/p", "http://h.example", "https://h.example?q=1",
+        "https://h.example#f", "https://h.example:8080/p",
+        "https://user@h.example/p", "https://[::1]:80/p",
+        "http://h\t.example/p", "HTTPS://h.example/p", "not a url",
+        "ftp://h.example/x", "https://h.example/a@b",
+    ]
+    for u in cases:
+        want = urlsplit(u).netloc.rsplit("@", 1)[-1]
+        assert host_of(u) == want, u
+
+
+def test_make_absolute_keeps_bare_trailing_semicolon():
+    """Go's ResolveReference keeps a bare trailing ';' (utils/url.go:78-86);
+    urljoin's urlparse/urlunparse round-trip would drop it. The fast paths
+    follow the reference."""
+    from zeno_ray.urlnorm import make_absolute
+
+    assert make_absolute("https://b.example/d/", "https://a.example/x;") == \
+        "https://a.example/x;"
+    assert make_absolute("https://b.example/d/", "/x;") == \
+        "https://b.example/x;"

@@ -150,17 +150,53 @@ def is_valid_url(url: str) -> bool:
     return any(c.isalnum() for c in host)
 
 
+# scheme://netloc prefix of a canonical http(s) base — used to resolve
+# root-relative and protocol-relative references without urljoin
+_ORIGIN_RE = re.compile(r"^(https?)://([^/?#]*)")
+
+
 def make_absolute(base: str, url: str) -> str:
     """Resolve *url* against *base* (utils/url.go:78-86).
 
-    Fast path: an already-absolute http(s) URL with no dot-segments is
-    returned as-is — ``urljoin`` would only apply remove_dot_segments,
-    which is a no-op then (the ``"/."`` guard conservatively sends any
-    candidate dot-segment through the slow path). Equivalence is
-    property-tested against ``urljoin`` in test_urlnorm."""
-    if (url.startswith("http://") or url.startswith("https://")) \
-            and "/." not in url:
+    Fast paths (equivalence property-tested against ``urljoin`` in
+    test_urlnorm):
+    - an already-absolute http(s) URL with no dot-segments is returned
+      as-is — ``urljoin`` would only apply remove_dot_segments, a no-op
+      then (the ``"/."`` guard conservatively sends any candidate
+      dot-segment through the slow path);
+    - a root-relative reference (``/path...``) against an http(s) base is
+      ``scheme://netloc`` of the base + the reference (RFC 3986 §5.3: the
+      base's path/query never contribute);
+    - a protocol-relative reference (``//host/...``) takes only the base's
+      scheme.
+    The page loop in :func:`clean_urls` hoists the base-origin match out of
+    the per-URL path via :func:`_make_absolute_fast`. Any URL carrying
+    ``\\t``/``\\n``/``\\r`` (which ``urlsplit`` strips anywhere, possibly
+    changing the reference's structure) takes the ``urljoin`` path."""
+    return _make_absolute_fast(
+        base, _ORIGIN_RE.match(base) if not _tab_nl(base) else None, url)
+
+
+def _tab_nl(s: str) -> bool:
+    # urlsplit strips \t\r\n ANYWHERE before parsing (WHATWG unsafe-byte
+    # removal), which can change a reference's structure (e.g. "/\t/x"
+    # strips to the protocol-relative "//x"); any URL carrying them must
+    # take the urljoin path so stripping happens at the same point.
+    return "\t" in s or "\n" in s or "\r" in s
+
+
+def _make_absolute_fast(base: str, origin_m: "re.Match | None", url: str) -> str:
+    """make_absolute with the base's origin match precomputed (one regex
+    per page instead of one per candidate URL)."""
+    if "/." in url or _tab_nl(url):
+        return urljoin(base, url)
+    if url.startswith("http://") or url.startswith("https://"):
         return url
+    if origin_m is not None:
+        if url.startswith("//"):
+            return origin_m.group(1) + ":" + url
+        if url.startswith("/"):
+            return origin_m.group(0) + url
     return urljoin(base, url)
 
 
@@ -170,12 +206,29 @@ def strip_fragment(url: str) -> str:
     return url if i < 0 else url[:i]
 
 
+_NETLOC_END = re.compile(r"[/?#]")
+
+
 def host_of(url: str) -> str:
-    """Canonical host (post-IDNA, with port) of a canonical URL."""
-    try:
-        netloc = urlsplit(url).netloc
-    except ValueError:
-        return ""
+    """Canonical host (post-IDNA, with port) of a canonical URL.
+
+    Fast path for the dominant shape (lowercase http(s) scheme, no
+    stripped-whitespace bytes): the netloc is the span between ``://`` and
+    the first ``/``, ``?`` or ``#`` — exactly ``urlsplit``'s netloc rule."""
+    if url.startswith("http://"):
+        start = 7
+    elif url.startswith("https://"):
+        start = 8
+    else:
+        start = -1
+    if start >= 0 and not _tab_nl(url):
+        m = _NETLOC_END.search(url, start)
+        netloc = url[start: m.start()] if m else url[start:]
+    else:
+        try:
+            netloc = urlsplit(url).netloc
+        except ValueError:
+            return ""
     return netloc.rsplit("@", 1)[-1]
 
 
@@ -232,9 +285,12 @@ def clean_urls(
     seen: set[str] = set()
     out: list[str] = []
     fast = _CANON_FAST.match
+    origin_m = None
+    if base is not None and not _tab_nl(base):
+        origin_m = _ORIGIN_RE.match(base)
     for u in urls:
         if base is not None:
-            u = make_absolute(base, u)
+            u = _make_absolute_fast(base, origin_m, u)
         u = strip_fragment(u)
         if fast(u):
             c = u  # canonical + valid http(s) by construction
