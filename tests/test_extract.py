@@ -316,3 +316,135 @@ def test_html_in_page_dedupe_first_wins():
     html = b'<html><body><a href="a.html">1</a><a href="a.html">2</a><a href="b.html">3</a></body></html>'
     res = extract_from_page("https://h.example/", html, "text/html")
     assert res.outlinks == ["https://h.example/a.html", "https://h.example/b.html"]
+
+
+# ------------------------------------------- fast-scanner differential
+
+
+def _slow_collect(body: str):
+    from zeno_ray.extract.html import _Collector
+
+    col = _Collector()
+    try:
+        col.feed(body)
+        col.close()
+    except Exception:
+        pass
+    return col
+
+
+def _col_state(col):
+    text = "".join(col.text_parts if col._saw_body
+                   else col._prebody_parts + col.text_parts)
+    return {
+        "a": col.a_href, "iframe": col.iframe_src, "ref": col.ref_target,
+        "base": col.base_href, "data_item": col.data_item,
+        "style_attr": col.style_attr, "data_preview": col.data_preview,
+        "img": col.img, "video": col.video, "audio": col.audio,
+        "style_css": col.style_css, "scripts": col.scripts,
+        "link": col.link_href, "meta": col.meta, "source": col.source,
+        "text": text,
+    }
+
+
+def test_fast_collect_differential_structured():
+    """The fast scanner must agree with html.parser on every well-formed
+    construct it claims to handle, and must REFUSE (return None) anything
+    outside its subset so the caller falls back."""
+    from zeno_ray.extract.html import _fast_collect
+
+    in_subset = [
+        "<html><head><title>t &amp; u</title><link rel=\"stylesheet\" href=\"/c.css\">"
+        "<script src=\"/j.js\"></script><script>var cfg = {\"u\": \"https://h/x\"};"
+        "</script></head><body><h1>Ti&#116;le</h1><p>a &lt; b</p>"
+        "<ul><li><a href=\"/p/1\">link 0</a></li></ul>"
+        "<img src=\"/i.png\"><img src='/j.png' data-src=/k.png>"
+        "<div style=\"background-image: url('/bg.png')\">x</div>"
+        "<style>.a{background:url(/s.png)}</style>"
+        "<video src=/v.mp4/><audio src=\"/a.mp3\"></audio>"
+        "<meta property=\"og:image\" content=\"https://h/og.png\">"
+        "<source srcset=\"/s1.png 1x, /s2.png 2x\">"
+        "<BASE HREF=\"/base/\"><A HREF=\"UP.html\">t</A>"
+        "</body></html>",
+        "<body>plain < 3 text</body>",                 # literal '<' data
+        "no tags at all &copy; 2020",
+        "<body><script>unterminated...",               # dropped by both
+        "<body><style>unterminated{",
+        "<body>t</body><body>u</body>",                # body depth twice
+        "<p>pre-body only, no body tag",
+        "<body><a href=\"x&amp;y\">z</a></body>",      # charref in attr
+        "<body><a href>bare</a><a href=>empty</a></body>",
+        "<body><div data-item='{\"url\": \"https://h/d\"}'>i</div></body>",
+        "<body><ref target=\"/r\"></ref><iframe src=\"/f\"></iframe></body>",
+        "<body><script type=\"application/json\">{\"u\":\"https://h/sj\"}"
+        "</script></body>",
+        "<body><img src=\"a\" src=\"b\"></body>",      # first-wins dup attr
+        "<body><SCRIPT>x</ScRiPt >tail</body>",        # case/space close tag
+    ]
+    for doc in in_subset:
+        fast = _fast_collect(doc)
+        assert fast is not None, doc
+        assert _col_state(fast) == _col_state(_slow_collect(doc)), doc
+
+    must_refuse = [
+        "<!DOCTYPE html><body>x</body>",
+        "<body><!-- comment --></body>",
+        "<?xml version=\"1.0\"?><body>x</body>",
+        "<body><![CDATA[x]]></body>",
+        "<body><a href=\"x\"</body>",   # malformed: '<' inside tag
+        "<body><a href='unterminated></body>",
+        "<body></body",                                 # truncated close tag
+    ]
+    for doc in must_refuse:
+        assert _fast_collect(doc) is None, doc
+
+
+def test_fast_collect_differential_fuzz():
+    """Randomized tag soup: wherever the fast scanner accepts, it must
+    match html.parser field-for-field."""
+    import random
+
+    from zeno_ray.extract.html import _fast_collect
+
+    rng = random.Random(1234)
+    tags = ["a", "img", "div", "p", "script", "style", "body", "link",
+            "meta", "source", "video", "audio", "iframe", "base", "ref",
+            "ul", "li", "h1", "span"]
+    attrs = ["href=\"/x/{i}\"", "src='/y/{i}'", "data-src=/z/{i}",
+             "srcset=\"/a{i}.png 1x, /b{i}.png 2x\"", "rel=\"alternate\"",
+             "rel=stylesheet", "style=\"background-image: url('/bg{i}.png')\"",
+             "data-preview=\"http://h/p{i}\"", "content=\"http://h/c{i}\"",
+             "target=\"/t{i}\"", "", "class=\"c{i}\"",
+             "data-item='{{\"u\": \"https://h/d{i}\"}}'", "href=\"a&amp;b{i}\""]
+    texts = ["plain", "a &lt; b", "x &amp; y", "5 < 6", "tail &copy;",
+             "läks &#228;", " ", ""]
+    n_accepted = 0
+    for trial in range(400):
+        parts = ["<body>"] if trial % 3 else []
+        for i in range(rng.randint(1, 25)):
+            r = rng.random()
+            if r < 0.45:
+                t = rng.choice(tags)
+                at = rng.choice(attrs).format(i=i)
+                sc = rng.choice(["", "", "/"])
+                parts.append(f"<{t} {at}{sc}>" if at else f"<{t}{sc}>")
+                if t == "script" and not sc:
+                    parts.append(rng.choice(["var x = 1;", "",
+                                             "if (a<b) { x(); }",
+                                             'var cfg = {"u": "https://h/q"};']))
+                    parts.append("</script>")
+                elif t == "style" and not sc:
+                    parts.append(".c{background:url(/u.png)}")
+                    parts.append("</style>")
+            elif r < 0.8:
+                parts.append(rng.choice(texts))
+            else:
+                t = rng.choice(tags)
+                parts.append(f"</{t}>")
+        doc = "".join(parts)
+        fast = _fast_collect(doc)
+        if fast is None:
+            continue
+        n_accepted += 1
+        assert _col_state(fast) == _col_state(_slow_collect(doc)), doc
+    assert n_accepted >= 350  # the subset must actually cover tag soup

@@ -219,6 +219,128 @@ class _Collector(HTMLParser):
                     self.source.extend(_split_srcset(a[key]))
 
 
+# ----------------------------------------------------------------- fast scan
+#
+# A single-regex scanner for the well-formed-HTML subset: plain start/end/
+# self-closing tags with optionally-quoted attributes, charref text runs,
+# and exactly-terminated <script>/<style> CDATA blocks. Anything outside
+# the subset (comments, doctypes, PIs, CDATA sections, malformed tags,
+# tolerant end-tag shapes) returns None and the caller re-parses with the
+# stdlib html.parser, whose semantics this scanner replicates (same
+# _Collector fields, same first-wins attrs, same charref unescaping, same
+# dropped-unterminated-script behavior). Equivalence is enforced by the
+# extractor unit fixtures AND the full-corpus byte-identical-text /
+# edge-hash oracles, which run both engines over every page shape.
+
+# Attr names and unquoted values exclude <, ", ' — html.parser is more
+# tolerant there, but a failed _FAST_TAG match at a '<'+alpha position
+# falls back to html.parser, so extra strictness only costs speed, never
+# correctness. Quoted values may contain '<' (html.parser agrees).
+_FAST_TAG = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9:_\-]*)"
+    r"((?:\s+[^\s=/><\"']+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s><\"']*))?)*)"
+    r"\s*(/?)>"
+)
+_ATTR_RE = re.compile(
+    r"([^\s=/><\"']+)(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s><\"']*))?")
+_SCRIPT_END = re.compile(r"</\s*script\s*>", re.I)
+_STYLE_END = re.compile(r"</\s*style\s*>", re.I)
+
+# tags whose attributes the collector actually reads; everything else only
+# needs attr parsing when a data-*/style attribute might be present
+_ATTR_TAGS = frozenset({
+    "a", "iframe", "ref", "base", "img", "video", "audio", "link", "meta",
+    "source", "script",
+})
+
+
+def _fast_attrs(raw: str) -> dict:
+    from html import unescape
+
+    a: dict = {}
+    for m in _ATTR_RE.finditer(raw):
+        k = m.group(1).lower()
+        if k in a:
+            continue  # first-wins, like _Collector.handle_starttag
+        v = m.group(2)
+        if v is None:
+            a[k] = ""
+            continue
+        if v[:1] in ("'", '"'):
+            v = v[1:-1]
+        if v and "&" in v:
+            v = unescape(v)
+        a[k] = v
+    return a
+
+
+def _fast_collect(doc: str) -> "_Collector | None":
+    """Fill a _Collector without html.parser, or None → caller falls back."""
+    from html import unescape
+
+    col = _Collector()
+
+    def text_chunk(t: str) -> None:
+        if "&" in t:
+            t = unescape(t)
+        if col._body_depth > 0:
+            col.text_parts.append(t)
+        else:
+            col._prebody_parts.append(t)
+
+    pos, n = 0, len(doc)
+    while pos < n:
+        lt = doc.find("<", pos)
+        if lt < 0:
+            text_chunk(doc[pos:])
+            break
+        if lt > pos:
+            text_chunk(doc[pos:lt])
+        m = _FAST_TAG.match(doc, lt)
+        if m is None:
+            nc = doc[lt + 1: lt + 2]
+            if nc and (nc.isalpha() or nc in "/!?"):
+                return None  # construct outside the fast subset
+            text_chunk("<")  # literal '<' data, like html.parser
+            pos = lt + 1
+            continue
+        closing, tag, attrs_raw, selfclose = (
+            m.group(1), m.group(2).lower(), m.group(3), m.group(4))
+        pos = m.end()
+        if closing:
+            if tag == "body" and col._body_depth:
+                col._body_depth -= 1
+            continue
+        if attrs_raw and tag not in _ATTR_TAGS:
+            # attr NAMES are lowercased on parse, so sniff case-insensitively
+            al = attrs_raw.lower()
+            need_attrs = "data-" in al or "style" in al
+        else:
+            need_attrs = bool(attrs_raw)
+        a = _fast_attrs(attrs_raw) if need_attrs else {}
+        if a or tag in ("a", "iframe", "ref", "base", "img", "video",
+                        "audio", "link", "meta", "source"):
+            col._element(tag, a, m.group(0))
+        if selfclose:
+            continue  # handle_startendtag: no content model, no body depth
+        if tag == "body":
+            col._body_depth += 1
+            col._saw_body = True
+        elif tag == "script":
+            end = _SCRIPT_END.search(doc, pos)
+            if end is None:
+                break  # unterminated CDATA: html.parser drops it too
+            col.scripts.append((a, doc[pos: end.start()], m.group(0)))
+            pos = end.end()
+        elif tag == "style":
+            end = _STYLE_END.search(doc, pos)
+            if end is None:
+                break
+            col.style_css.append(doc[pos: end.start()])
+            pos = end.end()
+    return col
+
+
 def _style_urls(css: str) -> list[str]:
     """<style> body scraping (assets.go:281-299)."""
     out = []
@@ -297,12 +419,14 @@ def extract_html(
     """One-pass outlink/asset/text/base extraction over an HTML document."""
     if isinstance(body, bytes):
         body = body.decode("utf-8", "replace")
-    col = _Collector()
-    try:
-        col.feed(body)
-        col.close()
-    except Exception:
-        pass  # parse as far as possible; goquery is similarly lenient
+    col = _fast_collect(body)
+    if col is None:  # outside the fast subset → stdlib html.parser
+        col = _Collector()
+        try:
+            col.feed(body)
+            col.close()
+        except Exception:
+            pass  # parse as far as possible; goquery is similarly lenient
 
     text = "".join(col.text_parts if col._saw_body else col._prebody_parts + col.text_parts)
 
