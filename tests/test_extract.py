@@ -448,3 +448,40 @@ def test_fast_collect_differential_fuzz():
         n_accepted += 1
         assert _col_state(fast) == _col_state(_slow_collect(doc)), doc
     assert n_accepted >= 350  # the subset must actually cover tag soup
+
+
+def test_fast_collect_differential_hypothesis():
+    """Property: on ANY document assembled from text runs (incl. entities,
+    stray '<'/'&'/quotes) and tag fragments, wherever the fast scanner
+    accepts it must match html.parser field-for-field; where it refuses,
+    extract_html still succeeds via the fallback."""
+    from hypothesis import given, settings, strategies as st
+
+    from zeno_ray.extract.html import _fast_collect
+
+    text_run = st.text(
+        alphabet="ab <>&;\"'=/xä\n\t&amp;&lt;&#65;", max_size=12)
+    tag_name = st.sampled_from(
+        ["a", "img", "body", "script", "style", "p", "base", "link",
+         "meta", "source", "video", "iframe", "br"])
+    attr = st.sampled_from(
+        ['href="/x"', "src='/y'", "data-src=/z", "href", "href=",
+         'href="a&amp;b"', "style=\"background:url('/b.png')\"",
+         'srcset="/a 1x, /b 2x"', 'content="http://h/c"', "rel=alternate",
+         "x-weird='v'", 'a="<"', ""])
+    start_tag = st.builds(
+        lambda t, a, sc: f"<{t} {a}{sc}>" if a else f"<{t}{sc}>",
+        tag_name, attr, st.sampled_from(["", "/"]))
+    end_tag = st.builds(lambda t: f"</{t}>", tag_name)
+    cdata_close = st.sampled_from(["</script>", "</style>", "</script >",
+                                   "</SCRIPT>", ""])
+    piece = st.one_of(text_run, start_tag, end_tag, cdata_close)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(piece, max_size=14).map("".join))
+    def check(doc):
+        fast = _fast_collect(doc)
+        if fast is not None:
+            assert _col_state(fast) == _col_state(_slow_collect(doc)), doc
+
+    check()
