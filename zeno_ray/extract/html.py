@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import re
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 from zeno_ray.extract.jsonx import urls_from_json
@@ -255,34 +256,30 @@ _ATTR_TAGS = frozenset({
 
 
 def _fast_attrs(raw: str) -> dict:
-    from html import unescape
-
     a: dict = {}
     for m in _ATTR_RE.finditer(raw):
-        k = m.group(1).lower()
+        k, v = m.group(1, 2)
+        k = k.lower()
         if k in a:
             continue  # first-wins, like _Collector.handle_starttag
-        v = m.group(2)
         if v is None:
             a[k] = ""
             continue
         if v[:1] in ("'", '"'):
             v = v[1:-1]
         if v and "&" in v:
-            v = unescape(v)
+            v = _unescape(v)
         a[k] = v
     return a
 
 
 def _fast_collect(doc: str) -> "_Collector | None":
     """Fill a _Collector without html.parser, or None → caller falls back."""
-    from html import unescape
-
     col = _Collector()
 
     def text_chunk(t: str) -> None:
         if "&" in t:
-            t = unescape(t)
+            t = _unescape(t)
         if col._body_depth > 0:
             col.text_parts.append(t)
         else:
@@ -304,8 +301,8 @@ def _fast_collect(doc: str) -> "_Collector | None":
             text_chunk("<")  # literal '<' data, like html.parser
             pos = lt + 1
             continue
-        closing, tag, attrs_raw, selfclose = (
-            m.group(1), m.group(2).lower(), m.group(3), m.group(4))
+        closing, tag, attrs_raw, selfclose = m.group(1, 2, 3, 4)
+        tag = tag.lower()
         pos = m.end()
         if closing:
             if tag == "body" and col._body_depth:
