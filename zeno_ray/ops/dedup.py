@@ -640,11 +640,18 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     grams (here: the hash value order, which also spreads prefix postings
     uniformly). So only PREFIX grams explode into the inverted index —
     candidate generation is exact-complete, not probabilistic, while the
-    posting lists stay a (1-t) fraction of the full index. Shuffle
-    discipline is the module standard: coarse hash partitions, vectorized
-    pandas/numpy inside each part, repartition-join of gram sets onto pair
-    sides, and a lexsort-based batch set-intersection for the exact
-    verify (no per-pair Python). Only verified edges reach the driver.
+    posting lists stay a (1-t) fraction of the full index. Each posting
+    row ships its doc's sorted prefix array so candidate generation can
+    apply MIN-GRAM RESPONSIBILITY: a pair is emitted only from its
+    smallest shared prefix gram's part, i.e. exactly once globally — on
+    template-heavy corpora (tens of shared prefix grams per pair) this
+    removes a 10-40× candidate-row inflation and the global pair-dedupe
+    all-to-all it used to require (measured 57M rows shuffled for 3.7M
+    distinct pairs; 87s of a 110s query). Shuffle discipline is the
+    module standard: coarse hash partitions, vectorized pandas/numpy
+    inside each part, repartition-join of gram sets onto pair sides, and
+    a lexsort/bitmask batch set-intersection for the exact verify (no
+    per-pair Python). Only verified edges reach the driver.
     """
     n_parts = _coarse_n_parts()
     grams = docs_ds.map_batches(
@@ -656,59 +663,87 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         sizes = df["size"].to_numpy()
         plens = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
         plens = np.minimum(np.maximum(plens, 1), sizes)
-        gr = np.concatenate([g[:p] for g, p in zip(df["grams"], plens)]) \
+        prefixes = [g[:p] for g, p in zip(df["grams"], plens)]
+        gr = np.concatenate(prefixes) \
             if len(df) else np.zeros(0, dtype=np.uint64)
+        # every posting row carries its doc's FULL (sorted) prefix array:
+        # ~|prefix| uint64 per row, the price of the min-gram responsibility
+        # check below that makes each candidate pair unique GLOBALLY
         return pd.DataFrame({
             "gram": gr,
             "doc_id": np.repeat(df["doc_id"].to_numpy(), plens),
             "size": np.repeat(sizes, plens),
+            "prefix": [p for p, n in zip(prefixes, plens) for _ in range(n)],
             "part": (gr % np.uint64(n_parts)).astype("int64"),
         })
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # Min-gram responsibility: emit (a, b) from gram g ONLY IF g is the
+        # pair's smallest shared prefix gram. The smallest shared gram is
+        # unique and its posting list reaches exactly one part, so every
+        # candidate pair is emitted EXACTLY ONCE across all parts — no
+        # global pair-dedupe shuffle (previously a 57M-row all-to-all for
+        # 3.7M distinct pairs on template-heavy corpora, the dominant cost).
+        # "shares a gram < g" is one bitmask AND over the part-local vocab.
         counts = g.groupby("gram")["doc_id"].transform("size")
         g = g[counts >= 2]
         if g.empty:
             return _PAIR_EMPTY
+        docs = g.drop_duplicates("doc_id")
+        prefix_of = dict(zip(docs["doc_id"].to_numpy(), docs["prefix"]))
+        vocab = np.unique(np.concatenate(list(prefix_of.values())))
+        W = (len(vocab) + 63) // 64
+        mask_of = {}
+        for d, v in prefix_of.items():
+            ix = np.searchsorted(vocab, np.asarray(v, dtype=np.uint64))
+            mm = np.zeros(W, dtype=np.uint64)
+            np.bitwise_or.at(mm, ix >> 6,
+                             np.uint64(1) << (ix & 63).astype(np.uint64))
+            mask_of[d] = mm
         out_a, out_b = [], []
-        for _, gg in g.groupby("gram", sort=False):
+        for gram_val, gg in g.groupby("gram", sort=False):
             ids = gg["doc_id"].to_numpy()
             sz = gg["size"].to_numpy()
             o = np.argsort(ids, kind="stable")
             ids, sz = ids[o], sz[o]
+            # prefix-gram masks truncated to grams STRICTLY below this one
+            c = int(np.searchsorted(vocab, np.uint64(gram_val)))
+            wfull, bits = divmod(c, 64)
+            cut = np.zeros(W, dtype=np.uint64)
+            cut[:wfull] = ~np.uint64(0)
+            if bits:
+                cut[wfull] = (np.uint64(1) << np.uint64(bits)) - np.uint64(1)
+            mlow = np.stack([mask_of[d] for d in ids]) & cut
+            has_lower = mlow.any(axis=1)
             # row-chunked broadcasting: a hot (template) gram's posting
-            # list can reach 10^3-10^4 docs — bound the m×m transient
-            for lo in range(0, len(ids), 2048):
-                ia = ids[lo:lo + 2048][:, None]
-                sa_ = sz[lo:lo + 2048][:, None]
+            # list can reach 10^3-10^4 docs — bound the m×m×W transient
+            ch = max(16, min(2048, (64 << 20) // max(1, len(ids) * W * 8)))
+            for lo in range(0, len(ids), ch):
+                ia = ids[lo:lo + ch][:, None]
+                sa_ = sz[lo:lo + ch][:, None]
                 # length filter: J ≥ t forces t·|B| ≤ |A| (for |A| ≤ |B|)
                 m = (ia < ids[None, :]) & (
                     np.minimum(sa_, sz[None, :])
                     >= threshold * np.maximum(sa_, sz[None, :]))
+                # responsibility filter: pairs where BOTH sides have lower
+                # prefix grams might share one — check those with the mask
+                both_low = has_lower[lo:lo + ch][:, None] & has_lower[None, :]
+                need = m & both_low
+                if need.any():
+                    ri, rj = np.nonzero(need)
+                    shared_lower = (mlow[lo + ri] & mlow[rj]).any(axis=1)
+                    m[ri[shared_lower], rj[shared_lower]] = False
                 out_a.append(np.broadcast_to(ia, m.shape)[m])
                 out_b.append(np.broadcast_to(ids[None, :], m.shape)[m])
+        if not out_a:
+            return _PAIR_EMPTY
         return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)}).drop_duplicates()
-
-    # global slim dedupe BEFORE the block join: one pair is re-emitted
-    # once per distinct part holding a shared prefix gram (template-heavy
-    # corpora share tens of low-hash grams per pair, a 10-40× row
-    # inflation if left to the fatter block shuffle — measured 7× slower
-    # when folded into the block-join dedupe)
-    def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "part": (df["a"].to_numpy() % n_parts).astype("int64"),
-            "a": df["a"], "b": df["b"],
-        })
+                             "b": np.concatenate(out_b)})
 
     pairs = (
         grams.map_batches(prefix_explode, batch_format="pandas")
         .groupby("part")
         .map_groups(pairs_in_part, batch_format="pandas")
-        .map_batches(key_pairs, batch_format="pandas")
-        .groupby("part")
-        .map_groups(lambda g: g.drop_duplicates(["a", "b"]),
-                    batch_format="pandas")
     )
 
     # ---- block-grid verify join ----
