@@ -753,6 +753,9 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     # pairs route to block (a%P, b%P); every doc's set is replicated to
     # its P A-role blocks and P B-role blocks (P× replication, P ≈
     # sqrt(parts)), and the block group verifies all its pairs locally.
+    # The sets travel as little-endian uint64 BYTES — an Arrow-native
+    # binary column — because object/list columns on multi-million-row
+    # sort shuffles are the documented Ray perf poison.
     _zero = np.zeros(0, dtype=np.uint64)
     P = max(8, int(np.sqrt(n_parts)))
 
@@ -762,7 +765,7 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         return pd.DataFrame({
             "part": (a % P) * P + (b % P), "a": a, "b": b,
             "role": np.int8(0), "key": np.int64(-1),
-            "g": [_zero] * len(df),
+            "g": [b""] * len(df),
         })
 
     def set_blocks(df: pd.DataFrame) -> pd.DataFrame:
@@ -780,7 +783,9 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         part_a = ((d % P)[:, None] * P + j[None, :]).ravel()
         part_b = (j[None, :] * P + (d % P)[:, None]).ravel()
         keys = np.repeat(d, P)
-        g_rep = list(np.repeat(df["grams"].to_numpy(), P))
+        g_bytes = np.array([np.ascontiguousarray(v).tobytes()
+                            for v in df["grams"]], dtype=object)
+        g_rep = list(np.repeat(g_bytes, P))
         return pd.DataFrame({
             "part": np.concatenate([part_a, part_b]),
             "a": np.int64(-1), "b": np.int64(-1),
@@ -816,9 +821,9 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         bset = dict(zip(g["key"].to_numpy()[role == 2], g["g"][role == 2]))
         pa_ = prs["a"].to_numpy()
         pb_ = prs["b"].to_numpy()
-        docs = {int(d): np.asarray(aset[d], dtype=np.uint64)
+        docs = {int(d): np.frombuffer(aset[d], dtype=np.uint64)
                 for d in np.unique(pa_)}
-        docs.update({int(d): np.asarray(bset[d], dtype=np.uint64)
+        docs.update({int(d): np.frombuffer(bset[d], dtype=np.uint64)
                      for d in np.unique(pb_)})
         vocab = np.unique(np.concatenate(list(docs.values()))) \
             if docs else _zero
