@@ -455,3 +455,48 @@ def test_ngram_jaccard_dedup_matches_bruteforce(docs_ds):
     # sanity on the fixture: exact dups and the near-dup did cluster
     assert got[100] == got[0]
     assert got[102] == got[0]
+
+
+@pytest.mark.parametrize("seed,threshold", [(1, 0.8), (2, 0.7), (3, 0.9)])
+def test_ngram_jaccard_dedup_randomized(seed, threshold):
+    """Randomized template-heavy corpora (the adversarial regime for the
+    prefix filter + min-gram-responsibility emission): clusters must equal
+    brute-force all-pairs union-find at several thresholds."""
+    import random
+
+    from zeno_ray.ops.dedup import (_edges_to_roots, _shingles,
+                                    ngram_jaccard_dedup)
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(30)]
+    templates = [" ".join(rng.choices(words, k=rng.randint(8, 40)))
+                 for _ in range(6)]
+    rows = []
+    for i in range(200):
+        t = rng.choice(templates)
+        if rng.random() < 0.5:  # mutate: swap or append a word
+            parts = t.split()
+            j = rng.randrange(len(parts))
+            parts[j] = rng.choice(words)
+            t = " ".join(parts)
+        if rng.random() < 0.2:
+            t += " " + rng.choice(words)
+        rows.append({"doc_id": i, "text": t})
+    ds = rd.from_items(rows)
+
+    out = ngram_jaccard_dedup(ds, k=5, threshold=threshold).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+
+    sets = [np.unique(_shingles(r["text"], 5)) for r in rows]
+    ea, eb = [], []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            union = len(sets[i]) + len(sets[j]) - inter
+            if inter / max(1, union) >= threshold:
+                ea.append(i)
+                eb.append(j)
+    roots = _edges_to_roots(pd.DataFrame({"a": ea, "b": eb}))
+    want = {i: roots.get(i, i) for i in range(len(rows))}
+    assert got == want
