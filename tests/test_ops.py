@@ -500,3 +500,21 @@ def test_ngram_jaccard_dedup_randomized(seed, threshold):
     roots = _edges_to_roots(pd.DataFrame({"a": ea, "b": eb}))
     want = {i: roots.get(i, i) for i in range(len(rows))}
     assert got == want
+
+
+def test_dedup_ops_degenerate_inputs():
+    """No-edge corpora (single doc, all-identical, below-k texts) must
+    label cleanly — the empty verified-edge frame has no columns."""
+    from zeno_ray.ops.dedup import (minhash_dedup, ngram_jaccard_dedup,
+                                    simhash_groups)
+
+    one = rd.from_items([{"doc_id": 1, "text": "hello world tiny doc"}])
+    assert ngram_jaccard_dedup(one).to_pandas().to_dict("records") == \
+        [{"doc_id": 1, "cluster": 1}]
+    assert minhash_dedup(one).to_pandas().to_dict("records") == \
+        [{"doc_id": 1, "cluster": 1}]
+    sh = rd.from_items([{"doc_id": 1, "text": "ab"},
+                        {"doc_id": 2, "text": "ab"}])
+    assert sorted(ngram_jaccard_dedup(sh).to_pandas()["cluster"]) == [1, 1]
+    out = simhash_groups(one).to_pandas()
+    assert out["cluster"].tolist() == [1]

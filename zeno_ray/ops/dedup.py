@@ -236,6 +236,9 @@ def _edges_to_roots(edges: pd.DataFrame) -> dict[int, int]:
             x = parent[x]
         return x
 
+    if len(edges) == 0 or "a" not in edges.columns:
+        # a fully-deduped-free corpus yields a columnless empty frame
+        return {}
     for a, b in zip(edges["a"], edges["b"]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
