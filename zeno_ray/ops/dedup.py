@@ -210,8 +210,12 @@ def minhash_lsh_bands(sig_df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     r = n_perm // n_bands
     sr = sigs.reshape(n, n_bands, r)
     bh = np.zeros((n, n_bands), dtype=np.uint64)
+    # wraparound offsets precomputed in python ints (np scalar uint64
+    # multiply warns on the intended modular overflow)
+    offs = [np.uint64(((j + 1) * int(_GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+            for j in range(r)]
     for j in range(r):
-        bh += _mix64(sr[:, :, j] + np.uint64(j + 1) * _GOLDEN) * _BAND_MULTS[j]
+        bh += _mix64(sr[:, :, j] + offs[j]) * _BAND_MULTS[j]
     bh = _mix64(bh)
     return pd.DataFrame({
         "doc_id": np.repeat(sig_df["doc_id"].to_numpy(), n_bands),
