@@ -23,7 +23,8 @@ preconnect header; article pages carry intra-host links, one cross-host
 link, and one plain-text cross-host URL. Seeds are every 4th host root, so
 a full crawl must discover most of the web transitively.
 
-Determinism: every random choice is ``random.Random(f"{seed}:{url}")``.
+Determinism: every random draw is a SplitMix64 counter stream keyed by
+``hash64(f"{seed}:{url}")``.
 No wall-clock, no global state.
 """
 
@@ -70,7 +71,7 @@ _PAGE_RE = re.compile(
 
 # bump when generated content changes — ensure_corpus regenerates any
 # cached corpus whose marker records a different version/spec
-CORPUS_VERSION = 5
+CORPUS_VERSION = 7
 
 
 @dataclass(frozen=True)
@@ -237,10 +238,22 @@ class CorpusSpec:
         return PageRecord(url, 200, ct, body, "", lang, ts)
 
     def _filler(self, url: str, n: int) -> str:
-        import random
+        # vectorized word salad: a SplitMix64 counter stream off the
+        # deterministic url hash — no RNG object at all (random.Random
+        # string seeding + per-word choice() was the hottest path of the
+        # whole synthetic fetch; PCG64's SeedSequence init is just as bad)
+        import numpy as np
 
-        rng = random.Random(f"{self.seed}:txt:{url}")
-        return " ".join(rng.choice(_WORDS) for _ in range(n))
+        x = (np.uint64(hash64(f"{self.seed}:txt:{url}"))
+             + np.uint64(0x9E3779B97F4A7C15)
+             * np.arange(1, n + 1, dtype=np.uint64))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        w = _WORDS
+        return " ".join([w[i] for i in (x % np.uint64(len(w))).tolist()])
 
     def _root_page(self, i: int, host: str, lang: str, ts) -> PageRecord:
         P = self.pages_per_host
