@@ -518,3 +518,44 @@ def test_dedup_ops_degenerate_inputs():
     assert sorted(ngram_jaccard_dedup(sh).to_pandas()["cluster"]) == [1, 1]
     out = simhash_groups(one).to_pandas()
     assert out["cluster"].tolist() == [1]
+
+
+def test_ngram_jaccard_dedup_diverse_corpus_legacy_mode():
+    """Long diverse docs (big gram sets → mean prefix length over the
+    responsibility cutoff) exercise the legacy emit-per-shared-gram +
+    global-dedupe branch; clusters must still equal brute force."""
+    import random
+
+    from zeno_ray.ops.dedup import (_edges_to_roots, _shingles,
+                                    ngram_jaccard_dedup)
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": "".join(
+            rng.choices(alphabet, k=900))})
+    # near-dups: copy with a small edit; exact dup
+    rows.append({"doc_id": 100, "text": rows[0]["text"][:-5] + "zzzzz"})
+    rows.append({"doc_id": 101, "text": rows[1]["text"]})
+    ds = rd.from_items(rows)
+
+    out = ngram_jaccard_dedup(ds, k=5, threshold=0.8).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["cluster"].astype(int)))
+
+    sets = {r["doc_id"]: np.unique(_shingles(r["text"], 5)) for r in rows}
+    ids = sorted(sets)
+    ea, eb = [], []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(np.intersect1d(sets[a], sets[b],
+                                       assume_unique=True))
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter / max(1, union) >= 0.8:
+                ea.append(a)
+                eb.append(b)
+    roots = _edges_to_roots(pd.DataFrame({"a": ea, "b": eb}))
+    want = {d: roots.get(d, d) for d in ids}
+    assert got == want
+    assert got[101] == got[1]  # the exact dup clustered

@@ -654,7 +654,10 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     template-heavy corpora (tens of shared prefix grams per pair) this
     removes a 10-40× candidate-row inflation and the global pair-dedupe
     all-to-all it used to require (measured 57M rows shuffled for 3.7M
-    distinct pairs; 87s of a 110s query). Shuffle discipline is the
+    distinct pairs; 87s of a 110s query). Prefix shipping is O(plen²)
+    bytes per doc, so the mode is ADAPTIVE on mean prefix length: diverse
+    corpora with big gram sets fall back to emit-per-shared-gram + a slim
+    global pair dedupe, which is cheap exactly there. Shuffle discipline is the
     module standard: coarse hash partitions, vectorized pandas/numpy
     inside each part, repartition-join of gram sets onto pair sides, and
     a lexsort/bitmask batch set-intersection for the exact verify (no
@@ -666,6 +669,20 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         batch_format="pandas", batch_size=1024,
     ).materialize()  # consumed by the prefix explode AND the verify join
 
+    # Mode pick: min-gram responsibility ships each doc's prefix array on
+    # every posting row — O(plen²) bytes per doc. That is a bargain in the
+    # template-heavy regime (short shared prefixes, massive candidate
+    # duplication: the whole point of the mode), but quadratic poison on
+    # natural corpora with big distinct gram sets (plen ≈ (1-t)·|set| can
+    # be hundreds). mean(plen) is a pure function of mean(size), already
+    # materialized — branch on it: small prefixes → responsibility mode
+    # (pairs unique globally, no dedupe shuffle); big prefixes → legacy
+    # emit-per-shared-gram + slim global pair dedupe (cheap there, because
+    # diverse corpora produce few candidates per pair in the first place).
+    mean_size = grams.mean("size") or 0.0
+    mean_plen = (1.0 - threshold) * mean_size + 1.0
+    responsibility = mean_plen <= 128.0
+
     def prefix_explode(df: pd.DataFrame) -> pd.DataFrame:
         sizes = df["size"].to_numpy()
         plens = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
@@ -673,16 +690,19 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         prefixes = [g[:p] for g, p in zip(df["grams"], plens)]
         gr = np.concatenate(prefixes) \
             if len(df) else np.zeros(0, dtype=np.uint64)
-        # every posting row carries its doc's FULL (sorted) prefix array:
-        # ~|prefix| uint64 per row, the price of the min-gram responsibility
-        # check below that makes each candidate pair unique GLOBALLY
-        return pd.DataFrame({
+        out = {
             "gram": gr,
             "doc_id": np.repeat(df["doc_id"].to_numpy(), plens),
             "size": np.repeat(sizes, plens),
-            "prefix": [p for p, n in zip(prefixes, plens) for _ in range(n)],
             "part": (gr % np.uint64(n_parts)).astype("int64"),
-        })
+        }
+        if responsibility:
+            # every posting row carries its doc's FULL (sorted) prefix
+            # array — the price of the min-gram responsibility check that
+            # makes each candidate pair unique GLOBALLY
+            out["prefix"] = [p for p, n in zip(prefixes, plens)
+                             for _ in range(n)]
+        return pd.DataFrame(out)
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         # Min-gram responsibility: emit (a, b) from gram g ONLY IF g is the
@@ -747,11 +767,54 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    pairs = (
-        grams.map_batches(prefix_explode, batch_format="pandas")
-        .groupby("part")
-        .map_groups(pairs_in_part, batch_format="pandas")
-    )
+    def pairs_in_part_legacy(g: pd.DataFrame) -> pd.DataFrame:
+        # natural-corpus mode: no shipped prefixes — emit per shared gram
+        # (duplicates across parts are rare here) and dedupe globally below
+        counts = g.groupby("gram")["doc_id"].transform("size")
+        g = g[counts >= 2]
+        if g.empty:
+            return _PAIR_EMPTY
+        out_a, out_b = [], []
+        for _, gg in g.groupby("gram", sort=False):
+            ids = gg["doc_id"].to_numpy()
+            sz = gg["size"].to_numpy()
+            o = np.argsort(ids, kind="stable")
+            ids, sz = ids[o], sz[o]
+            for lo in range(0, len(ids), 2048):
+                ia = ids[lo:lo + 2048][:, None]
+                sa_ = sz[lo:lo + 2048][:, None]
+                m = (ia < ids[None, :]) & (
+                    np.minimum(sa_, sz[None, :])
+                    >= threshold * np.maximum(sa_, sz[None, :]))
+                out_a.append(np.broadcast_to(ia, m.shape)[m])
+                out_b.append(np.broadcast_to(ids[None, :], m.shape)[m])
+        if not out_a:
+            return _PAIR_EMPTY
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)}).drop_duplicates()
+
+    if responsibility:
+        pairs = (
+            grams.map_batches(prefix_explode, batch_format="pandas")
+            .groupby("part")
+            .map_groups(pairs_in_part, batch_format="pandas")
+        )
+    else:
+        def key_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "part": (df["a"].to_numpy() % n_parts).astype("int64"),
+                "a": df["a"], "b": df["b"],
+            })
+
+        pairs = (
+            grams.map_batches(prefix_explode, batch_format="pandas")
+            .groupby("part")
+            .map_groups(pairs_in_part_legacy, batch_format="pandas")
+            .map_batches(key_pairs, batch_format="pandas")
+            .groupby("part")
+            .map_groups(lambda g: g.drop_duplicates(["a", "b"]),
+                        batch_format="pandas")
+        )
 
     # ---- block-grid verify join ----
     # A per-pair set attachment ships each doc's gram set once PER PAIR —
