@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (19 of the 32 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (22 of the 36 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -516,6 +516,84 @@ def _q_events_sessions(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def _q_doc_top_tokens(sf_dir: str):
+    """Corpus vocabulary head: token-frequency top-100 via per-batch
+    combiner partials → one vocab-sized groupby → sort+limit (driver
+    sees k rows). Token semantics = DuckDB string_split(text, ' ')."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import top_tokens
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    pdf = top_tokens(docs, k=100).to_pandas()
+    pdf["n"] = pdf["n"].astype("int64")
+    return pdf.reset_index(drop=True)
+
+
+def _q_doc_pack_plan(sf_dir: str):
+    """Sequence-packing plan (GPT-style, docs concatenated in doc_id
+    order, split allowed) — a distributed prefix-sum: per-range partial
+    sums, O(parts) driver-side exclusive scan, per-range vectorized
+    cumsum. Oracle: SUM() OVER (ORDER BY doc_id) window in DuckDB."""
+    import ray.data as rd
+
+    from zeno_ray.ops.pack import pack_plan
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = pack_plan(docs, context_len=2048).to_pandas()
+    for c in pdf.columns:
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_sample_stratified(sf_dir: str):
+    """Deterministic per-language downsampling (en 50% / de 25% /
+    rest 10%) via Knuth multiplicative hash of doc_id — the
+    mixture-building primitive; a stateless shuffle-free filter whose
+    keep set is reproducible in plain SQL integer arithmetic."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import stratified_sample
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang"])
+    pdf = stratified_sample(
+        docs, {"en": 0.5, "de": 0.25}, default_rate=0.1).to_pandas()
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_host_pagerank(sf_dir: str):
+    """PageRank over the host-level outlink graph of the crawled corpus
+    (5 power iterations, d=0.85) — the iterative keyed-shuffle operator
+    class. Host edges come from the real extractor pipeline
+    (extract_edges, itself oracle-checked); ranks are verified against
+    a sequential numpy power iteration in scripts/check_oracles.py."""
+    from zeno_ray.ops.graph import pagerank
+    from zeno_ray.pipelines import extract_edges
+
+    _, cdir, _ = _corpus(sf_dir)
+
+    def host_pairs(df):
+        import pandas as _pd
+
+        e = df[df["kind"] == "outlink"]
+        hs = e["src"].str.extract(r"^https://([^/]+)", expand=False)
+        hd = e["dst"].str.extract(r"^https://([^/]+)", expand=False)
+        out = _pd.DataFrame({"src": hs, "dst": hd}).dropna()
+        return out[out["src"] != out["dst"]].drop_duplicates()
+
+    hp = extract_edges(cdir).map_batches(host_pairs, batch_format="pandas")
+    pdf = pagerank(hp, n_iter=5).to_pandas().rename(columns={"node": "host"})
+    pdf["rank"] = pdf["rank"].astype("float64")
+    return pdf.sort_values("host").reset_index(drop=True)
+
+
 def _q_crawl_budget_order(sf_dir: str):
     """Politeness-budget mode: a bounded crawl with host_budget=8 and
     strict (byte-deterministic) candidate dedupe. Returns the fetched
@@ -646,6 +724,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_top_tokens": _q_doc_top_tokens,
+        "doc_pack_plan": _q_doc_pack_plan,
+        "doc_sample_stratified": _q_doc_sample_stratified,
+        "host_pagerank": _q_host_pagerank,
         "embedding_near_dup": _q_embedding_near_dup,
         # relational / streaming-shaped demos
         "lineitem_agg": _q_lineitem_agg,
@@ -750,6 +832,32 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_stats": """
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_top_tokens": """
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+        "doc_pack_plan": """
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                        AS BIGINT) AS start_token
+            FROM t)
+        SELECT doc_id, n_tokens, start_token,
+               start_token // 2048 AS pack_first,
+               (start_token + GREATEST(n_tokens, 1) - 1) // 2048 AS pack_last,
+               (start_token + GREATEST(n_tokens, 1) - 1) // 2048
+                   - start_token // 2048 + 1 AS n_packs
+        FROM s ORDER BY doc_id""",
+        "doc_sample_stratified": """
+        SELECT doc_id, lang FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
+              CASE WHEN lang = 'en' THEN 5000
+                   WHEN lang = 'de' THEN 2500 ELSE 1000 END
+        ORDER BY doc_id""",
         "doc_token_totals": """
         SELECT source,
                CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,

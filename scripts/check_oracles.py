@@ -323,8 +323,43 @@ def check_crawl_budget_order(got: pd.DataFrame, sf_dir: str) -> None:
         f"only-sim={list(set(want) - set(got_map))[:3]}")
 
 
+def check_host_pagerank(got: pd.DataFrame, sf_dir: str) -> None:
+    """Sequential numpy power iteration over the corpus's ground-truth
+    edge table (the query's extractor side is separately oracle-checked
+    via extract_edges) — node set must match exactly, ranks to 1e-9."""
+    import glob
+
+    import numpy as np
+
+    from zeno_ray.corpus import corpus_dir_for_sf, sf_of_dir
+    from zeno_ray.ops.graph import pagerank_sequential
+
+    cdir = corpus_dir_for_sf(sf_of_dir(sf_dir), "/tmp/rayzeno_corpus")
+    e = pd.concat([pd.read_parquet(f, columns=["src", "dst", "kind"])
+                   for f in sorted(glob.glob(f"{cdir}/edges/*.parquet"))])
+    e = e[e["kind"] == "outlink"]
+    hs = e["src"].str.extract(r"^https://([^/]+)", expand=False)
+    hd = e["dst"].str.extract(r"^https://([^/]+)", expand=False)
+    hp = pd.DataFrame({"s": hs, "d": hd}).dropna()
+    hp = hp[hp["s"] != hp["d"]].drop_duplicates()
+    want = pagerank_sequential(list(zip(hp["s"], hp["d"])), n_iter=5)
+    gm = dict(zip(got["host"], got["rank"]))
+    assert set(gm) == set(want), (
+        f"host set mismatch: {len(gm)} vs {len(want)}; "
+        f"only-got={list(set(gm) - set(want))[:3]} "
+        f"only-want={list(set(want) - set(gm))[:3]}")
+    keys = sorted(want)
+    g = np.array([gm[k] for k in keys])
+    w = np.array([want[k] for k in keys])
+    # the raw ranks agree to ~1e-15; `got` arrives through normalize(),
+    # which rounds floats to 6 decimals for hashing → tolerance 5e-7
+    assert np.allclose(g, w, rtol=0.0, atol=5.01e-7), (
+        f"rank mismatch, max abs err {np.abs(g - w).max()}")
+
+
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
+    "host_pagerank": check_host_pagerank,
     "ann_topk_lsh": check_ann_topk_lsh,
     "crawl_budget_order": check_crawl_budget_order,
     "doc_langid": check_doc_langid,

@@ -1,0 +1,162 @@
+"""Tests for the round-3 training-data additions: PageRank (ops/graph),
+sequence-pack planning (ops/pack), vocabulary top-k and stratified
+sampling (ops/text). Each distributed op is checked against a plain
+numpy/pandas sequential reference on the same input."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- pagerank
+def _random_graph(seed: int, n_nodes: int = 30, n_edges: int = 200):
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"h{i}" for i in range(n_nodes)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes))
+                  for _ in range(n_edges)})
+    return [(a, b) for a, b in edges if a != b]
+
+
+def test_pagerank_matches_sequential(ray_session):
+    from zeno_ray.ops.graph import pagerank, pagerank_sequential
+
+    edges = _random_graph(11)
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = pagerank(ds, n_iter=3, n_parts=8).to_pandas()
+    want = pagerank_sequential(edges, n_iter=3)
+    gm = dict(zip(got["node"], got["rank"]))
+    assert set(gm) == set(want)
+    keys = sorted(want)
+    assert np.allclose([gm[k] for k in keys], [want[k] for k in keys],
+                       rtol=1e-12)
+    assert abs(sum(gm.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_pagerank_dedupes_edges_and_handles_dangling(ray_session):
+    from zeno_ray.ops.graph import pagerank, pagerank_sequential
+
+    # b is dangling; duplicate a->b rows must count once
+    rows = [{"src": "a", "dst": "b"}] * 3 + [{"src": "c", "dst": "b"},
+                                             {"src": "c", "dst": "a"}]
+    got = pagerank(rd.from_items(rows), n_iter=4, n_parts=4).to_pandas()
+    want = pagerank_sequential([("a", "b"), ("c", "b"), ("c", "a")], n_iter=4)
+    gm = dict(zip(got["node"], got["rank"]))
+    for k in want:
+        assert gm[k] == pytest.approx(want[k], rel=1e-12)
+    # b receives from two sources -> highest rank
+    assert gm["b"] == max(gm.values())
+
+
+def test_pagerank_empty_edges(ray_session):
+    from zeno_ray.ops.graph import pagerank
+
+    ds = rd.from_items([{"src": "a", "dst": "a"}]).filter(
+        lambda r: False)
+    assert pagerank(ds, n_iter=2, n_parts=4).count() == 0
+
+
+# ------------------------------------------------------------ pack_plan
+def test_pack_plan_matches_prefix_sum(ray_session):
+    from zeno_ray.ops.pack import pack_plan
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = pack_plan(docs, context_len=512, n_parts=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["doc_id", "text"]).sort_values("doc_id")
+    n = (pdf["text"].str.count(" ") + 1).to_numpy(np.int64)
+    start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (out["doc_id"].to_numpy() == pdf["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["start_token"].to_numpy() == start).all()
+    assert (out["pack_first"].to_numpy() == start // 512).all()
+    assert (out["pack_last"].to_numpy()
+            == (start + np.maximum(n, 1) - 1) // 512).all()
+    assert (out["n_packs"]
+            == out["pack_last"] - out["pack_first"] + 1).all()
+
+
+def test_pack_plan_sparse_ids_and_empty_text(ray_session):
+    from zeno_ray.ops.pack import pack_plan
+
+    rows = [{"doc_id": 5, "text": "a b c"},
+            {"doc_id": 100, "text": ""},       # "" -> 1 token (SQL parity)
+            {"doc_id": 7000, "text": "x " * 9 + "x"}]
+    out = pack_plan(rd.from_items(rows), context_len=4,
+                    n_parts=8).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [3, 1, 10]
+    assert out["start_token"].tolist() == [0, 3, 4]
+    assert out["pack_first"].tolist() == [0, 0, 1]
+    assert out["pack_last"].tolist() == [0, 0, 3]
+    assert out["n_packs"].tolist() == [1, 1, 3]
+
+
+def test_pack_plan_empty_dataset(ray_session):
+    from zeno_ray.ops.pack import pack_plan
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a"}]).filter(lambda r: False)
+    assert pack_plan(ds, context_len=8).count() == 0
+
+
+# ----------------------------------------------------------- top_tokens
+def test_top_tokens_matches_pandas(ray_session):
+    from zeno_ray.ops.text import top_tokens
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["text"])
+    got = top_tokens(docs, k=15).to_pandas()
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["text"])
+    vc = pdf["text"].str.split(" ").explode().value_counts()
+    want = pd.DataFrame({"token": vc.index, "n": vc.to_numpy()}) \
+        .sort_values(["n", "token"], ascending=[False, True]) \
+        .head(15).reset_index(drop=True)
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].tolist()
+
+
+def test_top_tokens_tie_break_deterministic(ray_session):
+    from zeno_ray.ops.text import top_tokens
+
+    ds = rd.from_items([{"text": "b a"}, {"text": "c d"}])
+    got = top_tokens(ds, k=3).to_pandas()
+    # all counts 1 -> alphabetical tie-break, stable across runs
+    assert got["token"].tolist() == ["a", "b", "c"]
+
+
+# ---------------------------------------------------- stratified_sample
+def test_stratified_sample_deterministic_and_sql_parity(ray_session):
+    from zeno_ray.ops.text import stratified_sample
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "lang"])
+    got = stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                            default_rate=0.1).to_pandas()
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["doc_id", "lang"])
+    h = (pdf["doc_id"].to_numpy(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    thr = pdf["lang"].map({"en": 5000, "de": 2500}).fillna(1000) \
+        .to_numpy(np.uint64)
+    want = pdf[(h % np.uint64(10000)) < thr]
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # rerun -> identical keep set (pure function of doc_id)
+    again = stratified_sample(docs, {"en": 0.5, "de": 0.25},
+                              default_rate=0.1).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_stratified_sample_rate_zero_and_one(ray_session):
+    from zeno_ray.ops.text import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "en" if i % 2 else "fr"}
+            for i in range(200)]
+    ds = rd.from_items(rows)
+    got = stratified_sample(ds, {"en": 1.0, "fr": 0.0}).to_pandas()
+    assert sorted(got["doc_id"]) == [i for i in range(200) if i % 2]

@@ -1,0 +1,244 @@
+"""Iterative graph analytics over the crawl's edge table.
+
+PageRank as repeated keyed-shuffle joins — the one operator class the
+engine lacked: an ITERATIVE all-to-all computation where each round's
+output feeds the next round's shuffle.
+
+Ray Data has no join, so each round uses the module-standard
+repartition-join: tag both sides, ``union``, one coarse
+``groupby("part")`` shuffle, vectorized pandas ``merge`` inside the
+part (same discipline as ops/dedup.py — partitions are a pure function
+of the key, a few per core, never raw-key groupbys). Per iteration:
+
+1. contribs: edges ⋈ ranks on src (parts keyed by hash(src)) → emit
+   per-part PARTIAL in-sums keyed by hash(dst) (the combiner);
+2. apply: one groupby(hash(node) part) both reduces the partial
+   in-sums AND joins them onto the node state, with the dangling-mass
+   scalar folded in: ``rank' = (1-d)/N + d*(insum + dangling/N)`` —
+   two shuffles per iteration total, the minimum for an edge-keyed
+   then node-keyed round trip.
+
+Driver traffic per iteration is ONE scalar (the dangling mass); rank
+state lives in the cluster as a materialized slim Dataset. At 10^8
+nodes / 10^10 edges every stage is a bounded-width keyed shuffle.
+
+Determinism: partition assignment is a pure function of the key
+(``pd.util.hash_array``, fixed key) and every per-part kernel sorts
+before reducing, so reruns produce identical floats; the sequential
+python oracle (scripts/check_oracles.py) compares to 1e-6 relative.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _part(keys, n_parts: int) -> np.ndarray:
+    """Deterministic coarse partition of a string/int key array."""
+    arr = np.asarray(keys, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(n_parts)).astype("int64")
+
+
+def pagerank(edges_ds, n_iter: int = 10, d: float = 0.85,
+             n_parts: int | None = None):
+    """PageRank over a directed edge Dataset with columns (src, dst).
+
+    Duplicate edges are collapsed (each distinct (src, dst) counts
+    once); nodes are the union of both endpoints; dangling nodes
+    redistribute uniformly. Returns a Dataset (node, rank).
+    """
+    from ray.data.aggregate import Sum
+
+    if n_parts is None:
+        from zeno_ray.ops.dedup import _coarse_n_parts
+
+        n_parts = _coarse_n_parts()
+
+    def edge_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "dst"]].drop_duplicates()
+        return out.assign(part=_part(out["src"], n_parts))
+
+    edges = (
+        edges_ds.map_batches(edge_part, batch_format="pandas", batch_size=16384)
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates(["src", "dst"]),
+                    batch_format="pandas")
+        .repartition(n_parts)  # bound block count: groupby preserves input
+        .materialize()         # blocks and union ADDS them — unbounded
+    )                          # lineages grow quadratic shuffles
+
+    # out-degree per src (combiner per batch, then one slim part shuffle)
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby("src", as_index=False).agg(deg=("dst", "size"))
+        return vc.assign(part=_part(vc["src"], n_parts))
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(
+            lambda g: g.groupby(["part", "src"], as_index=False)
+            .agg(deg=("deg", "sum")),
+            batch_format="pandas")
+    )
+
+    # node universe: endpoints of either side, keyed by hash(node)
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.unique(
+            np.concatenate([df["src"].to_numpy(object),
+                            df["dst"].to_numpy(object)]))
+        return pd.DataFrame({"node": nodes,
+                             "part": _part(nodes, n_parts)})
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates("node"),
+                    batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "node": pd.Series([], dtype=object),
+                "rank": pd.Series([], dtype="float64")}),
+            batch_format="pandas")
+
+    # state0 = nodes ⋈ deg (same part keying on both sides), rank = 1/N
+    # repartition-join discipline: both sides carry the full column set
+    # (typed sentinels, never all-null object columns — Arrow would
+    # infer a null type and refuse the union) plus an int tag.
+    def seed_state(g: pd.DataFrame) -> pd.DataFrame:
+        degs = g[g["tag"] == 1].rename(columns={"src": "dnode"})
+        base = g[g["tag"] == 0][["node", "part"]]
+        m = base.merge(degs[["dnode", "deg"]], left_on="node",
+                       right_on="dnode", how="left")
+        m["deg"] = m["deg"].fillna(0).astype("int64")
+        m["rank"] = 1.0 / n_nodes
+        return m.sort_values("node", kind="stable")[
+            ["node", "deg", "rank", "part"]]
+
+    deg_tagged = deg.map_batches(
+        lambda df: pd.DataFrame({
+            "node": np.full(len(df), "", dtype=object),
+            "part": df["part"], "src": df["src"],
+            "deg": df["deg"].astype("float64"),
+            "tag": np.ones(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+    nodes_tagged = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"], "part": df["part"],
+            "src": np.full(len(df), "", dtype=object),
+            "deg": np.zeros(len(df), dtype="float64"),
+            "tag": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas")
+    state = (
+        nodes_tagged.union(deg_tagged)
+        .groupby("part")
+        .map_groups(seed_state, batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    edges_tagged = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "part": df["part"], "key": df["src"], "dst": df["dst"],
+            "w": np.zeros(len(df), dtype="float64"),
+            "tag": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas").repartition(n_parts).materialize()
+
+    def contribs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        # partial in-sums per part, re-keyed by hash(dst) so they land in
+        # the SAME shuffle as the state rows (schema-aligned, tag=1) —
+        # the in-sum reduce and the rank apply share one groupby
+        rates = g[g["tag"] == 1][["key", "w"]]
+        ee = g[g["tag"] == 0][["key", "dst"]]
+        m = ee.merge(rates, on="key", how="inner")
+        m = m.sort_values("dst", kind="stable")
+        out = m.groupby("dst", as_index=False).agg(w=("w", "sum"))
+        out = out.rename(columns={"dst": "node"})
+        return pd.DataFrame({
+            "node": out["node"], "part": _part(out["node"], n_parts),
+            "deg": np.zeros(len(out), dtype="float64"),
+            "w": out["w"].astype("float64"),
+            "tag": np.ones(len(out), dtype=np.int8)})
+
+    for _ in range(n_iter):
+        dangling = state.map_batches(
+            lambda df: pd.DataFrame({
+                "x": [df.loc[df["deg"] == 0, "rank"].sum()]}),
+            batch_format="pandas").sum("x") or 0.0
+
+        rank_tagged = state.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["part"], "key": df["node"],
+                "dst": np.full(len(df), "", dtype=object),
+                "w": np.where(df["deg"].to_numpy() > 0,
+                              df["rank"].to_numpy()
+                              / np.maximum(df["deg"].to_numpy(), 1), 0.0),
+                "tag": np.ones(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+
+        insums = (
+            edges_tagged.union(rank_tagged)
+            .groupby("part")
+            .map_groups(contribs_in_part, batch_format="pandas")
+        )
+
+        base_share = (1.0 - d) / n_nodes + d * dangling / n_nodes
+
+        def apply_ranks(g: pd.DataFrame,
+                        base_share: float = base_share) -> pd.DataFrame:
+            ins = g[g["tag"] == 1].sort_values("node", kind="stable")
+            sums = ins.groupby("node", as_index=False).agg(w=("w", "sum"))
+            st = g[g["tag"] == 0][["node", "deg", "part"]]
+            m = st.merge(sums, on="node", how="left")
+            m["w"] = m["w"].fillna(0.0)
+            m["rank"] = base_share + d * m["w"].to_numpy()
+            m["deg"] = m["deg"].astype("int64")
+            return m.sort_values("node", kind="stable")[
+                ["node", "deg", "rank", "part"]]
+
+        state_tagged = state.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"], "part": df["part"],
+                "deg": df["deg"].astype("float64"),
+                "w": np.zeros(len(df), dtype="float64"),
+                "tag": np.zeros(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+
+        state = (
+            state_tagged.union(insums)
+            .groupby("part")
+            .map_groups(apply_ranks, batch_format="pandas")
+            .repartition(n_parts)  # keep state's block count constant
+            .materialize()         # across iterations (see edges note)
+        )
+
+    return state.map_batches(
+        lambda df: df[["node", "rank"]], batch_format="pandas")
+
+
+def pagerank_sequential(edge_pairs, n_iter: int = 10,
+                        d: float = 0.85) -> dict:
+    """Driver-side reference implementation (the python oracle): plain
+    numpy power iteration over a deduped edge list. Same semantics as
+    :func:`pagerank` — used only for verification at small scale."""
+    pairs = sorted(set(map(tuple, edge_pairs)))
+    nodes = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    if n == 0:
+        return {}
+    src = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dst = np.array([idx[t] for _, t in pairs], dtype=np.int64)
+    deg = np.bincount(src, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = rank[deg == 0].sum()
+        contrib = rank[src] / np.maximum(deg[src], 1)
+        insum = np.bincount(dst, weights=contrib, minlength=n)
+        rank = (1.0 - d) / n + d * (dangling / n) + d * insum
+    return dict(zip(nodes, rank))

@@ -1,0 +1,104 @@
+"""Sequence-packing plan over the ``documents`` table.
+
+Training pipelines concatenate tokenized documents (in a deterministic
+order) into one token stream and chop it into fixed-length context
+windows ("packs", GPT-style packing with document splitting allowed).
+The *plan* for that — where each doc starts in the stream and which
+packs it spans — is a global prefix sum over per-doc token counts in
+doc_id order.
+
+The scalable shape (no driver-side O(N) scan, no global sort):
+
+1. slim projection: one ``map_batches`` pass computes ``n_tokens`` per
+   doc and assigns a contiguous range partition ``part = doc_id // W``
+   (doc order must be preserved across partitions, so the partition key
+   is a RANGE of the order key, not a hash);
+2. per-range partial sums: one small ``groupby(part)`` over ~n_parts
+   pre-aggregated rows (combiner inside the batch pass);
+3. driver-side exclusive scan over the n_parts partial sums — O(parts),
+   not O(docs) — broadcast back as a dict;
+4. per-range cumulative sum + pack arithmetic inside
+   ``groupby(part).map_groups`` (vectorized numpy per range).
+
+Two passes over a 2-column projection; everything wide stays in the
+cluster. At 10^9 docs the driver sees n_parts integers.
+
+Token semantics match the SQL oracle exactly:
+``n_tokens = len(string_split(text, ' '))`` (single-space split, empty
+pieces count) — see ``__ray_entry__.oracle_sql()['doc_pack_plan']``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pack_plan(docs_ds, context_len: int = 2048, n_parts: int | None = None):
+    """Return a Dataset with one row per doc:
+
+    ``doc_id, n_tokens, start_token, pack_first, pack_last, n_packs``
+
+    where ``start_token`` is the doc's offset in the concatenated
+    token stream (docs ordered by doc_id) and ``pack_*`` locate it in
+    ``context_len``-token windows.
+    """
+    from ray.data.aggregate import Sum
+
+    if n_parts is None:
+        from zeno_ray.ops.dedup import _coarse_n_parts
+
+        n_parts = _coarse_n_parts()
+
+    max_id = docs_ds.max("doc_id")
+    if max_id is None:  # empty input
+        return docs_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "start_token": pd.Series([], dtype="int64"),
+                "pack_first": pd.Series([], dtype="int64"),
+                "pack_last": pd.Series([], dtype="int64"),
+                "n_packs": pd.Series([], dtype="int64"),
+            }),
+            batch_format="pandas",
+        )
+    width = max(1, (int(max_id) + n_parts) // n_parts)
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_tokens": (df["text"].str.count(" ") + 1).to_numpy(np.int64),
+            "part": ids // width,
+        })
+
+    counts = docs_ds.map_batches(
+        count_tokens, batch_format="pandas", batch_size=8192
+    ).materialize()  # slim (3 int columns); feeds the scan AND the final pass
+
+    part_sums = (
+        counts.groupby("part").aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas()  # ≤ n_parts rows — the only driver-side traffic
+        .sort_values("part")
+    )
+    excl = np.concatenate([[0], np.cumsum(part_sums["s"].to_numpy(np.int64))[:-1]])
+    offsets = dict(zip(part_sums["part"].astype(int), excl.tolist()))
+
+    def plan_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = offsets[int(g["part"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(n)[:-1]])
+        first = start // context_len
+        last = (start + np.maximum(n, 1) - 1) // context_len
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "start_token": start,
+            "pack_first": first,
+            "pack_last": last,
+            "n_packs": last - first + 1,
+        })
+
+    return counts.groupby("part").map_groups(plan_in_part, batch_format="pandas")

@@ -121,3 +121,68 @@ def fingerprint(df: pd.DataFrame, window: int = 8) -> pd.DataFrame:
     out = df.copy()
     out["fingerprint"] = np.asarray(fps, dtype=np.uint64)
     return out
+
+
+def top_tokens(docs_ds, k: int = 100):
+    """Corpus-wide token-frequency top-k (vocabulary head).
+
+    Scale shape: the per-batch pass IS the combiner — each batch emits
+    at most |batch vocab| (token, n) partial rows, so the one
+    ``groupby("token")`` shuffle moves ~vocab-sized data, not
+    corpus-sized; the sort runs over the aggregated vocab only and
+    ``limit(k)`` keeps the driver traffic at k rows.
+
+    Token semantics match DuckDB ``unnest(string_split(text, ' '))``
+    exactly (single-space split, empty pieces count) so the query is
+    SQL-oracle-checkable; ties at the k boundary are broken by token
+    text, making the result a deterministic total order.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame({
+            "token": vc.index.astype(str),
+            "n": vc.to_numpy().astype(np.int64),
+        })
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant (2^32 / phi)
+
+
+def stratified_sample(docs_ds, rates: dict[str, float],
+                      default_rate: float = 0.1, strata_col: str = "lang"):
+    """Deterministic per-stratum downsampling — the mixture-building
+    primitive for training-data pipelines (e.g. keep 50% of English,
+    10% of everything else).
+
+    The keep decision is a pure function of ``doc_id`` via Knuth's
+    multiplicative hash mod 2^32 — reproducible in plain SQL integer
+    arithmetic (see the ``doc_sample_stratified`` oracle), stable across
+    runs/partitionings, and embarrassingly parallel: a stateless
+    ``map_batches`` filter, no shuffle, no driver traffic. Rates are
+    quantized to 1/10000.
+
+    (BIGINT ``doc_id * 2654435761`` overflows signed-64 only past
+    ~3.5e9 docs; the kernel itself uses wrapping uint64 so the Ray side
+    is exact at any scale.)
+    """
+    thresholds = {s: int(round(r * 10000)) for s, r in rates.items()}
+    default_thr = int(round(default_rate * 10000))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.uint64)
+             * np.uint64(_KNUTH)) % np.uint64(2**32)
+        thr = df[strata_col].map(
+            lambda s: thresholds.get(s, default_thr)).to_numpy(np.uint64)
+        return df[(h % np.uint64(10000)) < thr]
+
+    return docs_ds.map_batches(keep, batch_format="pandas", batch_size=8192)
