@@ -198,6 +198,43 @@ def run_bench() -> dict:
 
     from zeno_ray.ops.relational import events_hourly_window, lineitem_agg
 
+    from zeno_ray.ops.pack import pack_plan
+    from zeno_ray.ops.text import top_tokens
+
+    t = time.perf_counter()
+    top_tokens(rd.read_parquet(docs_path, columns=["text"]), k=100).count()
+    queries["doc_top_tokens"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    pack_plan(rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+              context_len=2048).count()
+    queries["doc_pack_plan"] = round(time.perf_counter() - t, 3)
+
+    # host-graph PageRank: pyarrow host extraction over the full corpus
+    # edge table, then 5 distributed power iterations
+    t = time.perf_counter()
+    import pyarrow as pa
+
+    from zeno_ray.ops.graph import pagerank
+    from zeno_ray.stages import _host_arrow
+
+    def _host_pairs(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        tt = tbl.filter(pc.equal(tbl["kind"], "outlink"))
+        hs = _host_arrow(tt["src"].combine_chunks())
+        hd = _host_arrow(tt["dst"].combine_chunks())
+        out = pa.table({"src": hs, "dst": hd})
+        return out.filter(pc.invert(pc.equal(out["src"], out["dst"])))
+
+    pagerank(
+        rd.read_parquet(os.path.join(cdir, "edges"),
+                        columns=["src", "dst", "kind"])
+        .map_batches(_host_pairs, batch_format="pyarrow", batch_size=65536),
+        n_iter=5,
+    ).count()
+    queries["host_pagerank"] = round(time.perf_counter() - t, 3)
+
     t = time.perf_counter()
     lineitem_agg(sf_dir)
     queries["lineitem_agg"] = round(time.perf_counter() - t, 3)
