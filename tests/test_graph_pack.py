@@ -22,12 +22,18 @@ def _random_graph(seed: int, n_nodes: int = 30, n_edges: int = 200):
     return [(a, b) for a, b in edges if a != b]
 
 
-def test_pagerank_matches_sequential(ray_session):
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0],
+                         ids=["broadcast", "shuffle"])
+def test_pagerank_matches_sequential(ray_session, max_broadcast):
+    # max_broadcast_nodes=0 forces the keyed-shuffle path; the default
+    # takes the factorized broadcast path — both must agree with the
+    # sequential reference
     from zeno_ray.ops.graph import pagerank, pagerank_sequential
 
     edges = _random_graph(11)
     ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
-    got = pagerank(ds, n_iter=3, n_parts=8).to_pandas()
+    got = pagerank(ds, n_iter=3, n_parts=8,
+                   max_broadcast_nodes=max_broadcast).to_pandas()
     want = pagerank_sequential(edges, n_iter=3)
     gm = dict(zip(got["node"], got["rank"]))
     assert set(gm) == set(want)

@@ -41,12 +41,29 @@ def _part(keys, n_parts: int) -> np.ndarray:
 
 
 def pagerank(edges_ds, n_iter: int = 10, d: float = 0.85,
-             n_parts: int | None = None):
+             n_parts: int | None = None,
+             max_broadcast_nodes: int = 2_000_000):
     """PageRank over a directed edge Dataset with columns (src, dst).
 
     Duplicate edges are collapsed (each distinct (src, dst) counts
     once); nodes are the union of both endpoints; dangling nodes
     redistribute uniformly. Returns a Dataset (node, rank).
+
+    Two execution paths, picked by node count (same discipline as the
+    ANN ops' broadcast-vs-shuffle split):
+
+    - ``n_nodes <= max_broadcast_nodes`` (the usual host-graph regime:
+      node count ≪ edge count): factorize nodes to int ids once, hold
+      the rank vector on the driver (N×8 bytes), ``ray.put`` the
+      per-iteration contribution vector, and run ONE shuffle-free
+      ``map_batches`` over the loop-invariant int-edge table per
+      iteration, reducing sparse ``bincount`` partials on the driver.
+      The edge table never moves after the initial dedupe shuffle —
+      the Dataset union+groupby form would re-shuffle all edges twice
+      per iteration (measured 205 s → ~30 s on a 3.1M-edge host graph).
+    - bigger graphs: keyed-shuffle iterations (repartition-join of
+      state onto edges), fully distributed state, one scalar of driver
+      traffic per iteration.
     """
     from ray.data.aggregate import Sum
 
@@ -123,6 +140,9 @@ def pagerank(edges_ds, n_iter: int = 10, d: float = 0.85,
                 "node": pd.Series([], dtype=object),
                 "rank": pd.Series([], dtype="float64")}),
             batch_format="pandas")
+
+    if n_nodes <= max_broadcast_nodes:
+        return _pagerank_broadcast(edges, nodes, n_nodes, n_iter, d)
 
     # state0 = nodes ⋈ deg (same part keying on both sides), rank = 1/N
     # repartition-join discipline: both sides carry the full column set
@@ -237,6 +257,82 @@ def pagerank(edges_ds, n_iter: int = 10, d: float = 0.85,
 
     return state.map_batches(
         lambda df: df[["node", "rank"]], batch_format="pandas")
+
+
+def _pagerank_broadcast(edges, nodes, n: int, n_iter: int, d: float):
+    """Small-node-count PageRank path: driver-held rank vector,
+    shuffle-free iterations over a loop-invariant factorized edge table.
+
+    ``edges``/``nodes`` are the materialized, globally-deduped Datasets
+    built by :func:`pagerank`. Driver memory is O(n) (the node→id map
+    and two float vectors) — bounded by ``max_broadcast_nodes``. Per
+    iteration: ``ray.put`` the contribution vector (n×8 bytes, read
+    zero-copy from the object store by every map task), one
+    ``map_batches`` over the int-edge table emitting SPARSE per-block
+    bincount partials (≤ min(n, block_rows) entries), driver-side
+    ``acc[ids] += w`` reduce. No edge bytes move after the initial
+    dedupe shuffle.
+    """
+    import ray as _ray
+
+    node_pdf = nodes.to_pandas()  # O(n) by contract (small-N path)
+    node_arr = node_pdf["node"].to_numpy(object)
+    idx = pd.Series(np.arange(n, dtype=np.int64), index=node_arr)
+    idx_ref = _ray.put(idx)
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        ii = _ray.get(idx_ref)
+        return pd.DataFrame({
+            "s": ii.reindex(df["src"].to_numpy(object)).to_numpy(np.int64),
+            "t": ii.reindex(df["dst"].to_numpy(object)).to_numpy(np.int64),
+        })
+
+    ie = edges.map_batches(to_ids, batch_format="pandas",
+                           batch_size=1 << 20).materialize()
+
+    def _sparse(vec: np.ndarray) -> pd.DataFrame:
+        nz = np.nonzero(vec)[0]
+        return pd.DataFrame({"ids": [nz.astype(np.int64).tobytes()],
+                             "w": [vec[nz].astype(np.float64).tobytes()]})
+
+    def _reduce(parts: pd.DataFrame) -> np.ndarray:
+        acc = np.zeros(n)
+        for row in parts.itertuples(index=False):
+            acc[np.frombuffer(row.ids, np.int64)] += np.frombuffer(row.w)
+        return acc
+
+    deg = _reduce(ie.map_batches(
+        lambda df: _sparse(np.bincount(df["s"].to_numpy(), minlength=n)
+                           .astype(np.float64)),
+        batch_format="pandas", batch_size=1 << 20).to_pandas())
+
+    rank = np.full(n, 1.0 / n)
+    safe_deg = np.maximum(deg, 1.0)
+    for _ in range(n_iter):
+        dangling = rank[deg == 0].sum()
+        contrib_ref = _ray.put(np.where(deg > 0, rank / safe_deg, 0.0))
+
+        def part_fn(df: pd.DataFrame,
+                    contrib_ref=contrib_ref) -> pd.DataFrame:
+            c = _ray.get(contrib_ref)
+            return _sparse(np.bincount(
+                df["t"].to_numpy(), weights=c[df["s"].to_numpy()],
+                minlength=n))
+
+        acc = _reduce(ie.map_batches(
+            part_fn, batch_format="pandas",
+            batch_size=1 << 20).to_pandas())
+        rank = (1.0 - d) / n + d * dangling / n + d * acc
+
+    rank_ref = _ray.put(rank)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ii = _ray.get(idx_ref)
+        rr = _ray.get(rank_ref)
+        ids = ii.reindex(df["node"].to_numpy(object)).to_numpy(np.int64)
+        return pd.DataFrame({"node": df["node"], "rank": rr[ids]})
+
+    return nodes.map_batches(attach, batch_format="pandas")
 
 
 def pagerank_sequential(edge_pairs, n_iter: int = 10,
