@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (22 of the 36 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (22 of the 37 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -594,6 +594,31 @@ def _q_host_pagerank(sf_dir: str):
     return pdf.sort_values("host").reset_index(drop=True)
 
 
+def _q_host_components(sf_dir: str):
+    """Connected components of the (undirected) host-level outlink
+    graph — min-label propagation; component representative is the
+    lexicographically smallest host, so the result is EXACTLY
+    reproducible by a sequential union-find (scripts/check_oracles.py)."""
+    from zeno_ray.ops.graph import connected_components
+    from zeno_ray.pipelines import extract_edges
+
+    _, cdir, _ = _corpus(sf_dir)
+
+    def host_pairs(df):
+        import pandas as _pd
+
+        e = df[df["kind"] == "outlink"]
+        hs = e["src"].str.extract(r"^https://([^/]+)", expand=False)
+        hd = e["dst"].str.extract(r"^https://([^/]+)", expand=False)
+        out = _pd.DataFrame({"src": hs, "dst": hd}).dropna()
+        return out[out["src"] != out["dst"]].drop_duplicates()
+
+    hp = extract_edges(cdir).map_batches(host_pairs, batch_format="pandas")
+    pdf = connected_components(hp).to_pandas() \
+        .rename(columns={"node": "host"})
+    return pdf.sort_values("host").reset_index(drop=True)
+
+
 def _q_crawl_budget_order(sf_dir: str):
     """Politeness-budget mode: a bounded crawl with host_budget=8 and
     strict (byte-deterministic) candidate dedupe. Returns the fetched
@@ -728,6 +753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_plan": _q_doc_pack_plan,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "host_pagerank": _q_host_pagerank,
+        "host_components": _q_host_components,
         "embedding_near_dup": _q_embedding_near_dup,
         # relational / streaming-shaped demos
         "lineitem_agg": _q_lineitem_agg,

@@ -357,9 +357,34 @@ def check_host_pagerank(got: pd.DataFrame, sf_dir: str) -> None:
         f"rank mismatch, max abs err {np.abs(g - w).max()}")
 
 
+def check_host_components(got: pd.DataFrame, sf_dir: str) -> None:
+    """Sequential union-find over the corpus's ground-truth edge table;
+    component representatives are lexicographic minima, so the match is
+    EXACT (string equality, no tolerance)."""
+    import glob
+
+    from zeno_ray.corpus import corpus_dir_for_sf, sf_of_dir
+    from zeno_ray.ops.graph import components_sequential
+
+    cdir = corpus_dir_for_sf(sf_of_dir(sf_dir), "/tmp/rayzeno_corpus")
+    e = pd.concat([pd.read_parquet(f, columns=["src", "dst", "kind"])
+                   for f in sorted(glob.glob(f"{cdir}/edges/*.parquet"))])
+    e = e[e["kind"] == "outlink"]
+    hs = e["src"].str.extract(r"^https://([^/]+)", expand=False)
+    hd = e["dst"].str.extract(r"^https://([^/]+)", expand=False)
+    hp = pd.DataFrame({"s": hs, "d": hd}).dropna()
+    hp = hp[hp["s"] != hp["d"]].drop_duplicates()
+    want = components_sequential(list(zip(hp["s"], hp["d"])))
+    gm = dict(zip(got["host"], got["component"]))
+    assert gm == want, (
+        f"component mismatch: {len(gm)} vs {len(want)} hosts; sample diff "
+        f"{[(k, gm.get(k), want.get(k)) for k in list(want)[:3]]}")
+
+
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
     "host_pagerank": check_host_pagerank,
+    "host_components": check_host_components,
     "ann_topk_lsh": check_ann_topk_lsh,
     "crawl_budget_order": check_crawl_budget_order,
     "doc_langid": check_doc_langid,

@@ -66,6 +66,32 @@ def test_pagerank_empty_edges(ray_session):
     assert pagerank(ds, n_iter=2, n_parts=4).count() == 0
 
 
+@pytest.mark.parametrize("max_broadcast", [2_000_000, 0],
+                         ids=["broadcast", "shuffle"])
+def test_connected_components_matches_union_find(ray_session, max_broadcast):
+    from zeno_ray.ops.graph import (components_sequential,
+                                    connected_components)
+
+    edges = _random_graph(23, n_nodes=40, n_edges=60)  # sparse -> several comps
+    ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+    got = connected_components(ds, n_parts=8,
+                               max_broadcast_nodes=max_broadcast).to_pandas()
+    want = components_sequential(edges)
+    gm = dict(zip(got["node"], got["component"]))
+    assert gm == want  # exact: representative = lexicographic min member
+
+
+def test_connected_components_two_cliques(ray_session):
+    from zeno_ray.ops.graph import connected_components
+
+    rows = ([{"src": a, "dst": b} for a in "abc" for b in "abc" if a != b]
+            + [{"src": x, "dst": y} for x in ("p", "q") for y in ("p", "q")
+               if x != y])
+    got = connected_components(rd.from_items(rows), n_parts=4).to_pandas()
+    gm = dict(zip(got["node"], got["component"]))
+    assert gm == {"a": "a", "b": "a", "c": "a", "p": "p", "q": "p"}
+
+
 # ------------------------------------------------------------ pack_plan
 def test_pack_plan_matches_prefix_sum(ray_session):
     from zeno_ray.ops.pack import pack_plan

@@ -335,6 +335,250 @@ def _pagerank_broadcast(edges, nodes, n: int, n_iter: int, d: float):
     return nodes.map_batches(attach, batch_format="pandas")
 
 
+def connected_components(edges_ds, n_parts: int | None = None,
+                         max_broadcast_nodes: int = 2_000_000,
+                         max_iter: int = 100):
+    """Undirected connected components over an edge Dataset (src, dst).
+
+    Returns a Dataset (node, component) where ``component`` is the
+    lexicographically smallest node name in the component — a
+    deterministic representative independent of partitioning/execution
+    path. Same two-path structure as :func:`pagerank`:
+
+    - broadcast path (node count ≤ ``max_broadcast_nodes``): node ids
+      assigned in SORTED name order (so min id ≡ lexicographic min),
+      labels held on the driver, min-label propagation with one
+      shuffle-free ``map_batches`` over the loop-invariant int-edge
+      table per round plus driver-side pointer jumping — converges in
+      O(log diameter) rounds, stops when no label changes;
+    - keyed-shuffle path: min-label propagation where labels ARE node
+      names (string min ≡ lexicographic min), two coarse shuffles per
+      round, convergence detected by a changed-count aggregate.
+    """
+    if n_parts is None:
+        from zeno_ray.ops.dedup import _coarse_n_parts
+
+        n_parts = _coarse_n_parts()
+
+    def edge_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "dst"]].drop_duplicates()
+        return out.assign(part=_part(out["src"], n_parts))
+
+    edges = (
+        edges_ds.map_batches(edge_part, batch_format="pandas",
+                             batch_size=16384)
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates(["src", "dst"]),
+                    batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+    n_edges = edges.count()
+    ideal = int(np.clip(n_edges // 20000 + 4, 4, n_parts))
+    if ideal < n_parts:
+        n_parts = ideal
+        edges = (
+            edges.map_batches(
+                lambda df: df.assign(part=_part(df["src"], n_parts)),
+                batch_format="pandas")
+            .repartition(n_parts).materialize())
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = pd.unique(np.concatenate([df["src"].to_numpy(object),
+                                         df["dst"].to_numpy(object)]))
+        return pd.DataFrame({"node": uniq, "part": _part(uniq, n_parts)})
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates("node"),
+                    batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda df: pd.DataFrame({
+                "node": pd.Series([], dtype=object),
+                "component": pd.Series([], dtype=object)}),
+            batch_format="pandas")
+
+    if n_nodes <= max_broadcast_nodes:
+        return _components_broadcast(edges, nodes, n_nodes, max_iter)
+    return _components_shuffle(edges, nodes, n_parts, max_iter)
+
+
+def _components_broadcast(edges, nodes, n: int, max_iter: int):
+    """Driver-held label vector; per round one shuffle-free pass over
+    the factorized edge table emitting sparse per-block min partials,
+    then pointer jumping on the driver. Ids are assigned in sorted name
+    order so the min id is the lexicographic-min representative."""
+    import ray as _ray
+
+    node_pdf = nodes.to_pandas().sort_values("node", kind="stable")
+    node_arr = node_pdf["node"].to_numpy(object)
+    idx = pd.Series(np.arange(n, dtype=np.int64), index=node_arr)
+    idx_ref = _ray.put(idx)
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        ii = _ray.get(idx_ref)
+        return pd.DataFrame({
+            "s": ii.reindex(df["src"].to_numpy(object)).to_numpy(np.int64),
+            "t": ii.reindex(df["dst"].to_numpy(object)).to_numpy(np.int64),
+        })
+
+    ie = edges.map_batches(to_ids, batch_format="pandas",
+                           batch_size=1 << 20).materialize()
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        lab_ref = _ray.put(labels)
+
+        def min_partial(df: pd.DataFrame, lab_ref=lab_ref) -> pd.DataFrame:
+            lab = _ray.get(lab_ref)
+            s = df["s"].to_numpy()
+            t = df["t"].to_numpy()
+            cand = np.full(len(lab), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(cand, t, lab[s])  # undirected: both directions
+            np.minimum.at(cand, s, lab[t])
+            nz = np.nonzero(cand < lab)[0]
+            return pd.DataFrame({"ids": [nz.tobytes()],
+                                 "w": [cand[nz].tobytes()]})
+
+        new = labels.copy()
+        for row in ie.map_batches(
+                min_partial, batch_format="pandas",
+                batch_size=1 << 20).to_pandas().itertuples(index=False):
+            ids = np.frombuffer(row.ids, np.int64)
+            np.minimum.at(new, ids, np.frombuffer(row.w, np.int64))
+        # pointer jumping: labels point at ever-smaller ids, so chase
+        # until fixpoint (cheap O(n alpha) driver work)
+        while True:
+            jumped = new[new]
+            if (jumped == new).all():
+                break
+            new = jumped
+        if (new == labels).all():
+            break
+        labels = new
+
+    comp_ref = _ray.put(node_arr[labels])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ii = _ray.get(idx_ref)
+        comp = _ray.get(comp_ref)
+        ids = ii.reindex(df["node"].to_numpy(object)).to_numpy(np.int64)
+        return pd.DataFrame({"node": df["node"], "component": comp[ids]})
+
+    return nodes.map_batches(attach, batch_format="pandas")
+
+
+def _components_shuffle(edges, nodes, n_parts: int, max_iter: int):
+    """Scale path: labels ARE node-name strings (string min ≡
+    lexicographic min); two coarse keyed shuffles per round, matching
+    the pagerank shuffle discipline; convergence via a changed-count
+    aggregate (one scalar of driver traffic per round)."""
+
+    # undirected: materialize both directions once, keyed by hash(key)
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        key = np.concatenate([df["src"].to_numpy(object),
+                              df["dst"].to_numpy(object)])
+        oth = np.concatenate([df["dst"].to_numpy(object),
+                              df["src"].to_numpy(object)])
+        return pd.DataFrame({
+            "part": _part(key, n_parts), "key": key, "oth": oth,
+            "lab": np.full(len(key), "", dtype=object),
+            "tag": np.zeros(len(key), dtype=np.int8)})
+
+    ed = edges.map_batches(both_dirs, batch_format="pandas") \
+        .repartition(n_parts).materialize()
+
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"], "part": df["part"],
+            "lab": df["node"].to_numpy(object),
+            "chg": np.zeros(len(df), dtype=np.int8)}),
+        batch_format="pandas").repartition(n_parts).materialize()
+
+    def cand_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        labs = g[g["tag"] == 1][["key", "lab"]] \
+            .rename(columns={"key": "node", "lab": "l"})
+        ee = g[g["tag"] == 0][["key", "oth"]]
+        m = ee.merge(labs, left_on="key", right_on="node", how="inner")
+        m = m.sort_values("oth", kind="stable")
+        out = m.groupby("oth", as_index=False).agg(lab=("l", "min"))
+        out = out.rename(columns={"oth": "node"})
+        return pd.DataFrame({
+            "node": out["node"], "part": _part(out["node"], n_parts),
+            "lab": out["lab"], "chg": np.ones(len(out), dtype=np.int8)})
+
+    def apply_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "lab"], kind="stable")
+        best = g.groupby("node", as_index=False).agg(lab=("lab", "min"))
+        st = g[g["chg"] == 0][["node", "part", "lab"]] \
+            .rename(columns={"lab": "old"})
+        m = st.merge(best, on="node", how="left")
+        m["lab"] = np.minimum(m["lab"].fillna(m["old"]), m["old"])
+        m["chg"] = (m["lab"] != m["old"]).astype(np.int8)
+        return m[["node", "part", "lab", "chg"]]
+
+    for _ in range(max_iter):
+        lab_tagged = state.map_batches(
+            lambda df: pd.DataFrame({
+                "part": df["part"], "key": df["node"],
+                "oth": np.full(len(df), "", dtype=object),
+                "lab": df["lab"], "tag": np.ones(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+        cands = (
+            ed.union(lab_tagged)
+            .groupby("part")
+            .map_groups(cand_in_part, batch_format="pandas")
+        )
+        state_tagged = state.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"], "part": df["part"], "lab": df["lab"],
+                "chg": np.zeros(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+        state = (
+            state_tagged.union(cands)
+            .groupby("part")
+            .map_groups(apply_min, batch_format="pandas")
+            .repartition(n_parts)
+            .materialize()
+        )
+        if (state.sum("chg") or 0) == 0:
+            break
+
+    return state.map_batches(
+        lambda df: pd.DataFrame({"node": df["node"],
+                                 "component": df["lab"]}),
+        batch_format="pandas")
+
+
+def components_sequential(edge_pairs) -> dict:
+    """Driver-side union-find reference (the python oracle): component
+    representative is the lexicographically smallest member."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def pagerank_sequential(edge_pairs, n_iter: int = 10,
                         d: float = 0.85) -> dict:
     """Driver-side reference implementation (the python oracle): plain
