@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (22 of the 37 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (24 of the 39 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -568,6 +568,50 @@ def _q_doc_sample_stratified(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_top_quality_per_lang(sf_dir: str):
+    """Windowed-rank primitive: the 3 highest-quality docs per language
+    (ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC,
+    doc_id)). Per-batch head(k) combiner → one groups-sized shuffle.
+    Quality is rounded half-away to 4 places BEFORE ranking so the
+    pandas and DuckDB orderings agree exactly."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import quality_features, top_k_per_group
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "lang", "text"])
+
+    def score(df):
+        out = quality_features(df)[["doc_id", "lang", "quality"]].copy()
+        out["quality"] = np.floor(out["quality"] * 10000 + 0.5) / 10000
+        return out
+
+    scored = docs.map_batches(score, batch_format="pandas", batch_size=4096)
+    pdf = top_k_per_group(scored, "lang", "quality", k=3).to_pandas()
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    return pdf[["lang", "doc_id", "quality"]] \
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
+def _q_doc_chars_quantiles(sf_dir: str):
+    """EXACT per-language quantiles of n_chars via distributed
+    histograms (quantile_disc semantics) — one histogram row per
+    (batch, group) moves through the shuffle, never the rows."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import group_quantiles
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["lang", "n_chars"])
+    pdf = group_quantiles(docs, "lang", "n_chars",
+                          qs=(0.5, 0.9, 0.99)).to_pandas()
+    for c in ("n", "q50", "q90", "q99"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("lang").reset_index(drop=True)
+
+
 def _q_host_pagerank(sf_dir: str):
     """PageRank over the host-level outlink graph of the crawled corpus
     (5 power iterations, d=0.85) — the iterative keyed-shuffle operator
@@ -750,6 +794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_top_tokens": _q_doc_top_tokens,
+        "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
+        "doc_chars_quantiles": _q_doc_chars_quantiles,
         "doc_pack_plan": _q_doc_pack_plan,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "host_pagerank": _q_host_pagerank,
@@ -857,6 +903,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, quality FROM s WHERE quality >= 0.895 ORDER BY doc_id""",
         "doc_lang_stats": """
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_top_quality_per_lang": """
+        WITH q AS (
+            SELECT doc_id, lang,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+            FROM documents),
+        s AS (
+            SELECT doc_id, lang,
+                   round(LEAST(GREATEST(
+                       1.0
+                       - (LEAST(GREATEST(
+                             (n_chars - (n_tokens - 1))
+                             / CAST(GREATEST(n_tokens, 1) AS DOUBLE),
+                             2.0), 14.0) - 2.0) / 24.0
+                       - LEAST(n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE),
+                               0.5),
+                   0.0), 1.0), 4) AS quality
+            FROM q),
+        r AS (
+            SELECT lang, doc_id, quality,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY quality DESC, doc_id) AS rn
+            FROM s)
+        SELECT lang, doc_id, quality FROM r WHERE rn <= 3
+        ORDER BY lang, doc_id""",
+        "doc_chars_quantiles": """
+        SELECT lang, COUNT(*) AS n,
+               quantile_disc(n_chars, 0.5) AS q50,
+               quantile_disc(n_chars, 0.9) AS q90,
+               quantile_disc(n_chars, 0.99) AS q99
         FROM documents GROUP BY lang ORDER BY lang""",
         "doc_top_tokens": """
         SELECT token, COUNT(*) AS n

@@ -192,3 +192,58 @@ def test_stratified_sample_rate_zero_and_one(ray_session):
     ds = rd.from_items(rows)
     got = stratified_sample(ds, {"en": 1.0, "fr": 0.0}).to_pandas()
     assert sorted(got["doc_id"]) == [i for i in range(200) if i % 2]
+
+
+# -------------------------------------------- top-k per group / quantiles
+def test_top_k_per_group_matches_window_rank(ray_session):
+    from zeno_ray.ops.text import top_k_per_group
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    got = top_k_per_group(docs, "lang", "n_chars", k=3).to_pandas() \
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+    want = (pdf.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="stable")
+            .groupby("lang").head(3)
+            .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+
+
+def test_top_k_per_group_tie_break(ray_session):
+    from zeno_ray.ops.text import top_k_per_group
+
+    rows = [{"doc_id": i, "lang": "x", "v": 7} for i in range(10)]
+    got = top_k_per_group(rd.from_items(rows), "lang", "v",
+                          k=3).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1, 2]  # ties -> lowest ids win
+
+
+def test_group_quantiles_exact(ray_session):
+    from zeno_ray.ops.text import group_quantiles
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["lang", "n_chars"])
+    got = group_quantiles(docs, "lang", "n_chars").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["lang", "n_chars"])
+    for _, row in got.iterrows():
+        v = np.sort(pdf.loc[pdf["lang"] == row["lang"], "n_chars"]
+                    .to_numpy())
+        assert row["n"] == len(v)
+        for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+            # quantile_disc: element at index ceil(q*n)-1
+            assert row[col] == v[max(1, int(np.ceil(q * len(v)))) - 1], (
+                row["lang"], col)
+
+
+def test_group_quantiles_rejects_unbounded(ray_session):
+    import ray
+    from zeno_ray.ops.text import group_quantiles
+
+    ds = rd.from_items([{"g": "a", "v": -1}])
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        group_quantiles(ds, "g", "v").to_pandas()

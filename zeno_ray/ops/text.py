@@ -186,3 +186,82 @@ def stratified_sample(docs_ds, rates: dict[str, float],
         return df[(h % np.uint64(10000)) < thr]
 
     return docs_ds.map_batches(keep, batch_format="pandas", batch_size=8192)
+
+
+def top_k_per_group(docs_ds, group_col: str, order_col: str, k: int = 3,
+                    id_col: str = "doc_id"):
+    """Per-group top-k (e.g. the k highest-quality docs per language) —
+    the windowed-rank primitive (``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v DESC, id)``).
+
+    Scale shape: the per-batch pass keeps only k rows per group seen in
+    the batch (the combiner), so the one ``groupby(group)`` shuffle
+    moves ≤ k·groups·blocks rows, never the corpus; the final per-group
+    head(k) is vectorized. Ties are broken by ascending ``id_col``, so
+    the result is a deterministic total order and SQL-oracle-checkable.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values([group_col, order_col, id_col],
+                           ascending=[True, False, True], kind="stable")
+        return s.groupby(group_col, as_index=False, sort=False).head(k)
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby(group_col)
+        .map_groups(
+            lambda g: g.sort_values([order_col, id_col],
+                                    ascending=[False, True],
+                                    kind="stable").head(k),
+            batch_format="pandas")
+    )
+
+
+def group_quantiles(docs_ds, group_col: str, value_col: str,
+                    qs: tuple = (0.5, 0.9, 0.99), max_value: int = 1 << 20):
+    """EXACT per-group quantiles of a bounded non-negative integer
+    column via distributed histograms (``quantile_disc`` semantics:
+    the returned value is an actual element, index ceil(q·n)-1 of the
+    sorted group).
+
+    Scale shape: each batch emits one (group, counts) histogram row
+    (counts as an Arrow binary blob of int64 bincounts, trimmed to the
+    observed max); one groupby(group) shuffle moves histograms, never
+    rows; quantiles are read off the summed histogram's cumsum. Driver
+    sees groups×quantiles rows. Exactness holds for any integer column
+    with values in [0, max_value) — lengths, token counts, status
+    codes; NOT a sketch.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for gval, gg in df.groupby(group_col, sort=False):
+            v = gg[value_col].to_numpy(np.int64)
+            if (v < 0).any() or (v >= max_value).any():
+                raise ValueError(
+                    f"{value_col} outside [0, {max_value}) — "
+                    "group_quantiles is exact only on bounded ints")
+            c = np.bincount(v)
+            rows.append((gval, c.tobytes()))
+        return pd.DataFrame(rows, columns=[group_col, "hist"])
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        width = max(len(h) for h in g["hist"]) // 8
+        acc = np.zeros(width, dtype=np.int64)
+        for h in g["hist"]:
+            a = np.frombuffer(h, np.int64)
+            acc[:len(a)] += a
+        cum = np.cumsum(acc)
+        n = int(cum[-1])
+        out = {group_col: [g[group_col].iloc[0]], "n": [n]}
+        for q in qs:
+            target = max(1, int(np.ceil(q * n)))
+            out[f"q{int(q * 100)}"] = [
+                int(np.searchsorted(cum, target, side="left"))]
+        return pd.DataFrame(out)
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+        .groupby(group_col)
+        .map_groups(reduce_group, batch_format="pandas")
+    )
