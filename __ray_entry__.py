@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (24 of the 39 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (25 of the 40 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -663,6 +663,17 @@ def _q_host_components(sf_dir: str):
     return pdf.sort_values("host").reset_index(drop=True)
 
 
+def _q_events_asof(sf_dir: str):
+    """Distributed AS-OF join (DuckDB ASOF JOIN semantics): each
+    purchase matched to the user's most recent click at ts <= purchase
+    ts. Both sides co-partitioned by user in one union'd shuffle, then
+    a single vectorized pd.merge_asof per part."""
+    from zeno_ray.ops.relational import asof_join_events
+
+    _quiet()
+    return asof_join_events(sf_dir)
+
+
 def _q_crawl_budget_order(sf_dir: str):
     """Politeness-budget mode: a bounded crawl with host_budget=8 and
     strict (byte-deterministic) candidate dedupe. Returns the fetched
@@ -808,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
+        "events_asof": _q_events_asof,
         "crawl_budget_order": _q_crawl_budget_order,
         # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib)
         "mm_decode": _q_mm_decode,
@@ -1010,6 +1022,13 @@ def oracle_sql() -> dict[str, str]:
         ), LATERAL (VALUES (w0), (w0 - INTERVAL 30 MINUTE)) AS t(window_start)
         GROUP BY event_type, window_start
         ORDER BY event_type, window_start""",
+        "events_asof": """
+        SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+               c.event_id AS click_event_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id""",
         "events_sessions": """
         WITH g AS (
             SELECT user_id, ts,

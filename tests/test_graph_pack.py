@@ -247,3 +247,39 @@ def test_group_quantiles_rejects_unbounded(ray_session):
     ds = rd.from_items([{"g": "a", "v": -1}])
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         group_quantiles(ds, "g", "v").to_pandas()
+
+
+# ------------------------------------------------------------ as-of join
+def test_asof_join_events_matches_duckdb(ray_session, tmp_path):
+    import duckdb
+
+    from zeno_ray.ops.relational import asof_join_events
+
+    # users exercising: no-click user, click-after-purchase-only user,
+    # exact-ts match, multiple clicks before one purchase
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    def ev(eid, uid, mins, typ):
+        rows.append({"event_id": eid, "ts": t0 + pd.Timedelta(minutes=mins),
+                     "user_id": uid, "event_type": typ, "value": 1.0,
+                     "props": ""})
+    ev(1, 1, 0, "click"); ev(2, 1, 5, "click"); ev(3, 1, 10, "purchase")
+    ev(4, 2, 7, "purchase")                      # no clicks at all
+    ev(5, 3, 9, "purchase"); ev(6, 3, 12, "click")  # click too late
+    ev(7, 4, 3, "click"); ev(8, 4, 3, "purchase")   # exact-ts match
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    got = asof_join_events(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.sql("""
+        SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+               c.event_id AS click_event_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY event_id""").df()
+    assert got["event_id"].tolist() == want["event_id"].tolist() == [3, 8]
+    assert got["click_event_id"].tolist() == want["click_event_id"].tolist() \
+        == [2, 7]  # latest prior click wins; exact ts matches inclusively

@@ -239,3 +239,69 @@ def sessionize_events_distributed(sf_dir: str, gap_minutes: int = 30) -> pd.Data
         .sort_values(["user_id", "session_start"])
         .reset_index(drop=True)
     )
+
+
+def asof_join_events(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click") -> pd.DataFrame:
+    """Distributed AS-OF join (DuckDB ``ASOF JOIN`` semantics, inner,
+    backward-inclusive): for each ``left_type`` event, the most recent
+    ``right_type`` event by the same user with ``ts <= left.ts``.
+
+    Ray Data has no join, so this is the module-standard
+    repartition-join specialized to the as-of case: both sides land in
+    ``part = user_id % n_parts`` via ONE union'd shuffle (every user's
+    rows — both roles — in exactly one part), and inside each part a
+    single vectorized ``pd.merge_asof`` (sorted by ts, by=user_id)
+    joins ALL the part's users at once. Same raw-key-avoidance
+    discipline as sessionize above; slim 4-column projection only.
+    """
+    import ray as _ray
+
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4) \
+        if _ray.is_initialized() else 32
+
+    def tag_sides(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin([left_type, right_type])
+        out = df[m][["event_id", "user_id", "ts"]].copy()
+        out["part"] = (out["user_id"].to_numpy() % n_parts).astype("int64")
+        out["side"] = (df.loc[m, "event_type"] == right_type) \
+            .to_numpy().astype(np.int8)
+        return out
+
+    def asof_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].sort_values("ts", kind="stable")
+        right = g[g["side"] == 1].sort_values("ts", kind="stable")
+        if left.empty or right.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "click_event_id": pd.Series([], dtype="int64"),
+                "click_ts": pd.Series([], dtype="datetime64[us]")})
+        # merge_asof drops the right side's on-key — carry the right
+        # event id and ts as payload columns instead
+        r2 = right[["user_id", "ts"]].copy()
+        r2["click_event_id"] = right["event_id"].to_numpy()
+        r2["click_ts"] = right["ts"].to_numpy()
+        m = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]], r2,
+            on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True)
+        m = m[m["click_event_id"].notna()]  # inner (ASOF JOIN) semantics
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "ts": m["ts"],
+            "click_event_id": m["click_event_id"].astype("int64"),
+            "click_ts": m["click_ts"]})
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                         "event_type"])
+        .map_batches(tag_sides, batch_format="pandas")
+        .groupby("part")
+        .map_groups(asof_in_part, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
