@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (25 of the 40 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (25 of the 41 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -663,6 +663,24 @@ def _q_host_components(sf_dir: str):
     return pdf.sort_values("host").reset_index(drop=True)
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via
+    HyperLogLog (p=12, ~1.6% theoretical error) — the mergeable-sketch
+    primitive: one 4 KiB register blob per (batch, group) moves through
+    the shuffle, never the rows. The estimate is a pure function of the
+    value set (fixed-key hash), so the python oracle re-derives it
+    EXACTLY and also bounds it against the true distinct count."""
+    import ray.data as rd
+
+    from zeno_ray.ops.sketch import hll_distinct
+
+    _quiet()
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    pdf = hll_distinct(ev, "event_type", "user_id", p=12).to_pandas()
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
 def _q_events_asof(sf_dir: str):
     """Distributed AS-OF join (DuckDB ASOF JOIN semantics): each
     purchase matched to the user's most recent click at ts <= purchase
@@ -820,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "events_distinct_users": _q_events_distinct_users,
         "crawl_budget_order": _q_crawl_budget_order,
         # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib)
         "mm_decode": _q_mm_decode,

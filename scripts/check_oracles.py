@@ -381,8 +381,35 @@ def check_host_components(got: pd.DataFrame, sf_dir: str) -> None:
         f"{[(k, gm.get(k), want.get(k)) for k in list(want)[:3]]}")
 
 
+def check_events_distinct_users(got: pd.DataFrame, sf_dir: str) -> None:
+    """(1) sequential re-execution must reproduce the HLL estimates
+    EXACTLY (register merge is order-independent, hash is fixed-key);
+    (2) semantic bound: each estimate within 5% of the true distinct
+    count (theory: ~1.6% at p=12)."""
+    import os
+
+    import numpy as np
+
+    from zeno_ray.ops.sketch import hll_distinct_sequential
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    groups = {g: gg["user_id"].to_numpy()
+              for g, gg in ev.groupby("event_type")}
+    want = hll_distinct_sequential(groups, p=12)
+    gm = dict(zip(got["event_type"], got["distinct_est"]))
+    assert set(gm) == set(want)
+    for g in want:
+        # normalize() rounds floats to 6dp before we see got
+        assert abs(gm[g] - want[g]) <= 5e-7 * max(1.0, abs(want[g])) + 1e-6, (
+            g, gm[g], want[g])
+        true = len(np.unique(groups[g]))
+        assert abs(gm[g] - true) / true < 0.05, (g, gm[g], true)
+
+
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
+    "events_distinct_users": check_events_distinct_users,
     "host_pagerank": check_host_pagerank,
     "host_components": check_host_components,
     "ann_topk_lsh": check_ann_topk_lsh,

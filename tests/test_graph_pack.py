@@ -283,3 +283,37 @@ def test_asof_join_events_matches_duckdb(ray_session, tmp_path):
     assert got["event_id"].tolist() == want["event_id"].tolist() == [3, 8]
     assert got["click_event_id"].tolist() == want["click_event_id"].tolist() \
         == [2, 7]  # latest prior click wins; exact ts matches inclusively
+
+
+# ------------------------------------------------------------- HLL sketch
+def test_hll_distinct_matches_sequential_and_truth(ray_session):
+    from zeno_ray.ops.sketch import hll_distinct, hll_distinct_sequential
+
+    rows = []
+    for g, n in (("a", 5000), ("b", 700), ("c", 3)):
+        for i in range(n):
+            # duplicates: each value appears up to 3x
+            for _ in range(1 + i % 3):
+                rows.append({"g": g, "v": hash(g) % 97 * 100000 + i})
+    ds = rd.from_items(rows)
+    got = hll_distinct(ds, "g", "v", p=12).to_pandas()
+    gm = dict(zip(got["g"], got["distinct_est"]))
+    vals = {}
+    for r in rows:
+        vals.setdefault(r["g"], []).append(r["v"])
+    want = hll_distinct_sequential(
+        {g: np.unique(np.array(v)) for g, v in vals.items()}, p=12)
+    for g, n_true in (("a", 5000), ("b", 700), ("c", 3)):
+        # distributed == sequential EXACTLY (order-independent max-merge)
+        assert gm[g] == pytest.approx(want[g], rel=1e-12), g
+        assert abs(gm[g] - n_true) / n_true < 0.05, (g, gm[g], n_true)
+
+
+def test_hll_registers_ignore_duplicates(ray_session):
+    from zeno_ray.ops.sketch import _estimate, _registers
+
+    v = np.arange(1000, dtype=np.int64)
+    once = _registers(v, 10)
+    thrice = _registers(np.concatenate([v, v, v]), 10)
+    assert (once == thrice).all()
+    assert _estimate(once) == _estimate(thrice)
