@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (25 of the 41 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (26 of the 42 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -663,6 +663,21 @@ def _q_host_components(sf_dir: str):
     return pdf.sort_values("host").reset_index(drop=True)
 
 
+def _q_doc_tfidf_terms(sf_dir: str):
+    """Per-source TF-IDF top-5 terms (tf x ln(S/df)) — feature
+    extraction over the corpus vocabulary; one token-keyed coarse
+    shuffle computes tf-sums and document frequencies together."""
+    import ray.data as rd
+
+    from zeno_ray.ops.text import tfidf_top_terms
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+    pdf = tfidf_top_terms(docs, k=5).to_pandas()
+    return pdf.sort_values(["source", "token"]).reset_index(drop=True)
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via
     HyperLogLog (p=12, ~1.6% theoretical error) — the mergeable-sketch
@@ -823,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_top_tokens": _q_doc_top_tokens,
+        "doc_tfidf_terms": _q_doc_tfidf_terms,
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_chars_quantiles": _q_doc_chars_quantiles,
         "doc_pack_plan": _q_doc_pack_plan,
@@ -968,6 +984,28 @@ def oracle_sql() -> dict[str, str]:
                quantile_disc(n_chars, 0.9) AS q90,
                quantile_disc(n_chars, 0.99) AS q99
         FROM documents GROUP BY lang ORDER BY lang""",
+        "doc_tfidf_terms": """
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+        tf AS (SELECT source, token, COUNT(*) AS tf
+               FROM tok GROUP BY source, token),
+        dfreq AS (SELECT token, COUNT(DISTINCT source) AS df
+                  FROM tf GROUP BY token),
+        sc AS (
+            SELECT tf.source, tf.token,
+                   round(tf.tf * ln(
+                       (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE)
+                        FROM documents) / dfreq.df), 6) AS score
+            FROM tf JOIN dfreq USING (token)),
+        r AS (
+            SELECT source, token, score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY score DESC, token) AS rn
+            FROM sc)
+        SELECT source, token, score FROM r WHERE rn <= 5
+        ORDER BY source, token""",
         "doc_top_tokens": """
         SELECT token, COUNT(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -317,3 +317,30 @@ def test_hll_registers_ignore_duplicates(ray_session):
     thrice = _registers(np.concatenate([v, v, v]), 10)
     assert (once == thrice).all()
     assert _estimate(once) == _estimate(thrice)
+
+
+# ------------------------------------------------------------- TF-IDF
+def test_tfidf_top_terms_matches_pandas(ray_session):
+    from zeno_ray.ops.text import tfidf_top_terms
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["source", "text"])
+    got = tfidf_top_terms(docs, k=3).to_pandas() \
+        .sort_values(["source", "token"]).reset_index(drop=True)
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["source", "text"])
+    t = pd.DataFrame({"source": pdf["source"],
+                      "token": pdf["text"].str.split(" ")}).explode("token")
+    tf = t.groupby(["source", "token"], as_index=False).size() \
+        .rename(columns={"size": "tf"})
+    df_ = tf.groupby("token")["source"].transform("nunique")
+    ns = pdf["source"].nunique()
+    tf["score"] = np.floor(
+        tf["tf"].to_numpy(np.float64)
+        * np.log(ns / df_.to_numpy(np.float64)) * 1e6 + 0.5) / 1e6
+    want = (tf.sort_values(["source", "score", "token"],
+                           ascending=[True, False, True], kind="stable")
+            .groupby("source").head(3)
+            .sort_values(["source", "token"]).reset_index(drop=True))
+    assert got["token"].tolist() == want["token"].tolist()
+    assert np.allclose(got["score"], want["score"], rtol=0, atol=1e-12)

@@ -265,3 +265,56 @@ def group_quantiles(docs_ds, group_col: str, value_col: str,
         .groupby(group_col)
         .map_groups(reduce_group, batch_format="pandas")
     )
+
+
+def tfidf_top_terms(docs_ds, k: int = 5):
+    """Per-source TF-IDF top terms: tf(t,s) = occurrences of t in
+    source s; df(t) = sources containing t; score = tf · ln(S/df).
+
+    Scale shape: per-batch (source, token, tf) combiner partials →
+    ONE coarse shuffle keyed by hash(token) (tf-sum and df are both
+    token-keyed, so a single part computes both with vectorized pandas
+    groupbys) → score map → :func:`top_k_per_group` head(k) reduce.
+    Shuffle traffic is vocab×sources partial rows, never the corpus.
+    Scores are rounded half-away to 6 places BEFORE ranking so the
+    pandas and DuckDB orderings agree exactly (ties → token asc).
+    """
+    from zeno_ray.ops.dedup import _coarse_n_parts
+
+    n_parts = _coarse_n_parts()
+
+    # S = distinct sources: tiny by construction (a label column); the
+    # per-batch unique partials bound driver traffic at sources×blocks
+    srcs = docs_ds.map_batches(
+        lambda df: df[["source"]].drop_duplicates(),
+        batch_format="pandas").to_pandas()
+    n_sources = int(srcs["source"].nunique())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({
+            "source": df["source"],
+            "token": df["text"].str.split(" "),
+        }).explode("token")
+        vc = t.groupby(["source", "token"], as_index=False) \
+            .size().rename(columns={"size": "tf"})
+        h = pd.util.hash_array(vc["token"].to_numpy(object))
+        vc["part"] = (h % np.uint64(n_parts)).astype("int64")
+        return vc
+
+    def score_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["source", "token"], as_index=False) \
+            .agg(tf=("tf", "sum"))
+        df_ = agg.groupby("token")["source"].transform("nunique")
+        score = agg["tf"].to_numpy(np.float64) \
+            * np.log(n_sources / df_.to_numpy(np.float64))
+        return pd.DataFrame({
+            "source": agg["source"], "token": agg["token"],
+            "score": np.floor(score * 1e6 + 0.5) / 1e6,  # half-away 6dp
+        })
+
+    scored = (
+        docs_ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("part")
+        .map_groups(score_in_part, batch_format="pandas")
+    )
+    return top_k_per_group(scored, "source", "score", k=k, id_col="token")
