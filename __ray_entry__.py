@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (26 of the 42 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (29 of the 45 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -696,6 +696,32 @@ def _q_events_distinct_users(sf_dir: str):
     return pdf.sort_values("event_type").reset_index(drop=True)
 
 
+def _q_revenue_by_segment_priority(sf_dir: str):
+    """Big-big repartition equi-join (lineitem x orders on orderkey,
+    pre-aggregated per orderkey inside each scan batch) + broadcast
+    customer-dim lookup + tiny aggregate."""
+    from zeno_ray.ops.relational import revenue_by_segment_priority
+
+    _quiet()
+    return revenue_by_segment_priority(sf_dir)
+
+
+def _q_suppliers_by_region(sf_dir: str):
+    """Dimension-chain broadcast join supplier x nation x region — no
+    shuffle at all; dims ride as a ray.put lookup frame."""
+    from zeno_ray.ops.relational import suppliers_by_region
+
+    _quiet()
+    return suppliers_by_region(sf_dir)
+
+
+def _q_parts_by_brand(sf_dir: str):
+    from zeno_ray.ops.relational import parts_by_brand
+
+    _quiet()
+    return parts_by_brand(sf_dir)
+
+
 def _q_events_asof(sf_dir: str):
     """Distributed AS-OF join (DuckDB ASOF JOIN semantics): each
     purchase matched to the user's most recent click at ts <= purchase
@@ -849,6 +875,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming-shaped demos
         "lineitem_agg": _q_lineitem_agg,
         "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_segment_priority": _q_revenue_by_segment_priority,
+        "suppliers_by_region": _q_suppliers_by_region,
+        "parts_by_brand": _q_parts_by_brand,
         "top_users": _q_top_users,
         "events_hourly": _q_events_hourly,
         "events_sliding": _q_events_sliding,
@@ -1061,6 +1090,27 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "revenue_by_segment_priority": """
+        SELECT c_mktsegment, o_orderpriority,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+        ORDER BY c_mktsegment, o_orderpriority""",
+        "suppliers_by_region": """
+        SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+               round(SUM(s_acctbal), 2) AS total_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+        "parts_by_brand": """
+        SELECT p_brand, COUNT(*) AS n_parts,
+               round(SUM(p_retailprice), 2) AS total_price,
+               CAST(MAX(p_size) AS BIGINT) AS max_size
+        FROM part GROUP BY p_brand ORDER BY p_brand""",
         "top_users": """
         SELECT user_id, round(SUM(value), 4) AS total_value
         FROM events GROUP BY user_id ORDER BY SUM(value) DESC LIMIT 10""",

@@ -344,3 +344,46 @@ def test_tfidf_top_terms_matches_pandas(ray_session):
             .sort_values(["source", "token"]).reset_index(drop=True))
     assert got["token"].tolist() == want["token"].tolist()
     assert np.allclose(got["score"], want["score"], rtol=0, atol=1e-12)
+
+
+# ------------------------------------------------- big-big join / dims
+def test_revenue_by_segment_priority_matches_duckdb(ray_session):
+    import duckdb
+
+    from zeno_ray.ops.relational import revenue_by_segment_priority
+
+    got = revenue_by_segment_priority(TESTDATA)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/{t}.parquet')")
+    want = con.sql("""
+        SELECT c_mktsegment, o_orderpriority,
+               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+    assert got["n"].tolist() == want["n"].astype(int).tolist()
+    assert np.allclose(got["revenue"], want["revenue"], atol=0.011)
+
+
+def test_suppliers_by_region_matches_duckdb(ray_session):
+    import duckdb
+
+    from zeno_ray.ops.relational import suppliers_by_region
+
+    got = suppliers_by_region(TESTDATA)
+    con = duckdb.connect()
+    for t in ("supplier", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{TESTDATA}/{t}.parquet')")
+    want = con.sql("""
+        SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+               round(SUM(s_acctbal), 2) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["n_suppliers"].tolist() == want["n_suppliers"].astype(int).tolist()

@@ -305,3 +305,139 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def revenue_by_segment_priority(sf_dir: str) -> pd.DataFrame:
+    """Big-big repartition equi-join: lineitem ⋈ orders on orderkey —
+    the fact-fact join class (neither side fits a broadcast at real
+    scale) — then a broadcast customer-dim lookup and a tiny aggregate.
+
+    Shape: (1) lineitem revenue is pre-aggregated PER ORDERKEY inside
+    each batch (the combiner: ≤ |orders| partial rows per block leave
+    the scan, not |lineitem|); (2) both sides land in ``part =
+    orderkey % n_parts`` via one union'd shuffle; (3) inside each part
+    a single vectorized merge joins all the part's orders, the
+    customer→segment map (small side, ``ray.put`` once) resolves the
+    dim lookup, and a local groupby emits (segment, priority) partials;
+    (4) the driver merges ≤ groups×parts rows.
+    """
+    n_parts = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4) \
+        if ray.is_initialized() else 32
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(pd.Series(cust["c_mktsegment"].to_numpy(object),
+                                index=cust["c_custkey"].to_numpy()))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = pd.DataFrame({"okey": df["l_orderkey"], "revenue": rev}) \
+            .groupby("okey", as_index=False) \
+            .agg(revenue=("revenue", "sum"), n=("revenue", "size"))
+        return pd.DataFrame({
+            "part": (g["okey"].to_numpy() % n_parts).astype("int64"),
+            "okey": g["okey"], "revenue": g["revenue"],
+            "n": g["n"].astype("int64"),
+            "custkey": np.zeros(len(g), dtype="int64"),
+            "priority": np.full(len(g), "", dtype=object),
+            "side": np.zeros(len(g), dtype=np.int8)})
+
+    def ord_tagged(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "part": (df["o_orderkey"].to_numpy() % n_parts).astype("int64"),
+            "okey": df["o_orderkey"],
+            "revenue": np.zeros(len(df), dtype="float64"),
+            "n": np.zeros(len(df), dtype="int64"),
+            "custkey": df["o_custkey"].astype("int64"),
+            "priority": df["o_orderpriority"].to_numpy(object),
+            "side": np.ones(len(df), dtype=np.int8)})
+
+    def join_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        li = g[g["side"] == 0][["okey", "revenue", "n"]]
+        od = g[g["side"] == 1][["okey", "custkey", "priority"]]
+        m = li.merge(od, on="okey", how="inner")
+        if m.empty:
+            return pd.DataFrame({
+                "c_mktsegment": pd.Series([], dtype=object),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "revenue": pd.Series([], dtype="float64"),
+                "n": pd.Series([], dtype="int64")})
+        seg = ray.get(seg_ref)
+        m["c_mktsegment"] = seg.reindex(m["custkey"].to_numpy()).to_numpy()
+        m = m.sort_values(["c_mktsegment", "priority"], kind="stable")
+        return m.groupby(["c_mktsegment", "priority"], as_index=False) \
+            .agg(revenue=("revenue", "sum"), n=("n", "sum")) \
+            .rename(columns={"priority": "o_orderpriority"})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pandas", batch_size=65536)
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderpriority"]) \
+        .map_batches(ord_tagged, batch_format="pandas", batch_size=65536)
+
+    pdf = (
+        li.union(od)
+        .groupby("part")
+        .map_groups(join_in_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pdf.groupby(["c_mktsegment", "o_orderpriority"], as_index=False) \
+        .agg(revenue=("revenue", "sum"), n=("n", "sum"))
+    out["revenue"] = out["revenue"].round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["c_mktsegment", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+def suppliers_by_region(sf_dir: str) -> pd.DataFrame:
+    """Dimension-chain broadcast join: supplier ⋈ nation ⋈ region —
+    both dims are tiny, so they ride as ``ray.put`` lookup maps inside
+    ONE map_batches over supplier (no shuffle at all); the aggregate is
+    a per-batch partial + driver merge."""
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(nat.set_index("n_nationkey")[["n_name", "r_name"]])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(lookup_ref)
+        m = df.join(lk, on="s_nationkey")
+        return m.groupby(["r_name", "n_name"], as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"),
+            total_acctbal=("s_acctbal", "sum"))
+
+    pdf = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey", "s_acctbal"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    out = pdf.groupby(["r_name", "n_name"], as_index=False).agg(
+        n_suppliers=("n_suppliers", "sum"),
+        total_acctbal=("total_acctbal", "sum"))
+    out["total_acctbal"] = out["total_acctbal"].round(2)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def parts_by_brand(sf_dir: str) -> pd.DataFrame:
+    """Single-table aggregate over part with the combiner pattern."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_partkey", "size"),
+            total_price=("p_retailprice", "sum"),
+            max_size=("p_size", "max"))
+
+    pdf = _read(sf_dir, "part",
+                columns=["p_partkey", "p_brand", "p_retailprice",
+                         "p_size"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    out = pdf.groupby("p_brand", as_index=False).agg(
+        n_parts=("n_parts", "sum"), total_price=("total_price", "sum"),
+        max_size=("max_size", "max"))
+    out["total_price"] = out["total_price"].round(2)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["max_size"] = out["max_size"].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
