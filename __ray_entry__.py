@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (29 of the 45 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (30 of the 46 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -550,6 +550,26 @@ def _q_doc_pack_plan(sf_dir: str):
     return pdf.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_pack_chunks(sf_dir: str):
+    """Materialized sequence packing: the actual 2048-token windows
+    (docs concatenated in doc_id order, split at pack boundaries).
+    Range shuffle with per-range offsets from the O(parts) driver scan,
+    per-doc segment slicing, pack-keyed stitch shuffle. The export
+    variant (ops.pack.pack_export) writes these through the resumable
+    partitioned sink."""
+    import ray.data as rd
+
+    from zeno_ray.ops.pack import pack_chunks
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    pdf = pack_chunks(docs, context_len=2048).to_pandas()
+    pdf["pack_id"] = pdf["pack_id"].astype("int64")
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    return pdf.sort_values("pack_id").reset_index(drop=True)
+
+
 def _q_doc_sample_stratified(sf_dir: str):
     """Deterministic per-language downsampling (en 50% / de 25% /
     rest 10%) via Knuth multiplicative hash of doc_id — the
@@ -868,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_quality_per_lang": _q_doc_top_quality_per_lang,
         "doc_chars_quantiles": _q_doc_chars_quantiles,
         "doc_pack_plan": _q_doc_pack_plan,
+        "doc_pack_chunks": _q_doc_pack_chunks,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "host_pagerank": _q_host_pagerank,
         "host_components": _q_host_components,
@@ -1055,6 +1076,18 @@ def oracle_sql() -> dict[str, str]:
                (start_token + GREATEST(n_tokens, 1) - 1) // 2048
                    - start_token // 2048 + 1 AS n_packs
         FROM s ORDER BY doc_id""",
+        "doc_pack_chunks": """
+        WITH l AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token,
+                       generate_subscripts(toks, 1) AS ord
+                FROM l),
+        pos AS (SELECT token,
+                       ROW_NUMBER() OVER (ORDER BY doc_id, ord) - 1 AS p
+                FROM tok)
+        SELECT p // 2048 AS pack_id, COUNT(*) AS n_tokens,
+               string_agg(token, ' ' ORDER BY p) AS pack_text
+        FROM pos GROUP BY 1 ORDER BY 1""",
         "doc_sample_stratified": """
         SELECT doc_id, lang FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 % 10000 <

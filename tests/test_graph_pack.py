@@ -387,3 +387,43 @@ def test_suppliers_by_region_matches_duckdb(ray_session):
         GROUP BY 1, 2 ORDER BY 1, 2""").df()
     assert got["n_name"].tolist() == want["n_name"].tolist()
     assert got["n_suppliers"].tolist() == want["n_suppliers"].astype(int).tolist()
+
+
+# ---------------------------------------------------------- pack export
+def test_pack_chunks_roundtrip_stream(ray_session):
+    from zeno_ray.ops.pack import pack_chunks
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = pack_chunks(docs, context_len=512, n_parts=16).to_pandas() \
+        .sort_values("pack_id").reset_index(drop=True)
+    pdf = pd.read_parquet(TESTDATA + "/documents.parquet",
+                          columns=["doc_id", "text"]).sort_values("doc_id")
+    stream = " ".join(pdf["text"]).split(" ")
+    want = [stream[i:i + 512] for i in range(0, len(stream), 512)]
+    assert got["pack_id"].tolist() == list(range(len(want)))
+    assert got["n_tokens"].tolist() == [len(w) for w in want]
+    # every pack's text slices the global stream exactly
+    for txt, w in zip(got["pack_text"], want):
+        assert txt == " ".join(w)
+
+
+def test_pack_export_resumable(ray_session, tmp_path):
+    import os
+
+    from zeno_ray.ops.pack import pack_export
+    from zeno_ray.sinks import partitioned_dataset
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = str(tmp_path / "packs")
+    r1 = pack_export(docs, out, context_len=512, packs_per_partition=16)
+    assert r1["written"] and not r1["skipped"]
+    total = partitioned_dataset(out).count()
+    # tear one partition: rerun must replace ONLY it and skip the rest
+    torn = os.path.join(out, f"part={r1['written'][0]}")
+    os.remove(torn + "._SUCCESS")
+    r2 = pack_export(docs, out, context_len=512, packs_per_partition=16)
+    assert r2["written"] == [r1["written"][0]]
+    assert sorted(r2["skipped"]) == sorted(r1["written"][1:])
+    assert partitioned_dataset(out).count() == total

@@ -102,3 +102,129 @@ def pack_plan(docs_ds, context_len: int = 2048, n_parts: int | None = None):
         })
 
     return counts.groupby("part").map_groups(plan_in_part, batch_format="pandas")
+
+
+def pack_chunks(docs_ds, context_len: int = 2048, n_parts: int | None = None):
+    """Materialized packing: the actual ``context_len``-token windows,
+    one row per pack: ``(pack_id, n_tokens, pack_text)`` with
+    ``pack_text`` the space-joined token slice of the concatenated
+    stream (docs in doc_id order, split across pack boundaries).
+
+    Two shuffles, both unavoidable and both bounded:
+
+    1. range shuffle on ``part = doc_id // W`` with the TEXT carried —
+       packing is an ordered concatenation, so the corpus must move
+       once into doc_id-ordered ranges (per-range token offsets come
+       from the same O(parts) driver scan as :func:`pack_plan`);
+       inside a range each doc slices itself into per-pack SEGMENTS
+       (≤ 1 + n_tokens/context_len rows per doc);
+    2. segment shuffle on ``hash(pack_id)`` — segments are
+       pack-boundary-crossing fragments, ≈ corpus-token volume total;
+       each part stitches its packs' segments in (pack_id, position)
+       order, vectorized per part.
+
+    The export variant (:func:`pack_export`) writes the result through
+    the resumable partitioned sink (one sealed dir per pack range).
+    """
+    from ray.data.aggregate import Sum
+
+    if n_parts is None:
+        from zeno_ray.ops.dedup import _coarse_n_parts
+
+        n_parts = _coarse_n_parts()
+
+    max_id = docs_ds.max("doc_id")
+    if max_id is None:
+        return docs_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "pack_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "pack_text": pd.Series([], dtype=object)}),
+            batch_format="pandas")
+    width = max(1, (int(max_id) + n_parts) // n_parts)
+
+    def with_part(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "text": df["text"],
+            "n_tokens": (df["text"].str.count(" ") + 1).to_numpy(np.int64),
+            "part": ids // width})
+
+    fat = docs_ds.map_batches(
+        with_part, batch_format="pandas", batch_size=4096).materialize()
+
+    part_sums = (
+        fat.map_batches(lambda df: df[["part", "n_tokens"]],
+                        batch_format="pandas")
+        .groupby("part").aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas().sort_values("part")
+    )
+    excl = np.concatenate(
+        [[0], np.cumsum(part_sums["s"].to_numpy(np.int64))[:-1]])
+    offsets = dict(zip(part_sums["part"].astype(int), excl.tolist()))
+
+    def segments_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        n = g["n_tokens"].to_numpy(np.int64)
+        start = offsets[int(g["part"].iloc[0])] + np.concatenate(
+            [[0], np.cumsum(n)[:-1]])
+        pid, pos, seg, seg_n = [], [], [], []
+        for text, s, nn in zip(g["text"], start, n):
+            toks = text.split(" ")
+            a = 0
+            while a < nn:
+                p = (s + a) // context_len
+                b = min(nn, (p + 1) * context_len - s)
+                pid.append(p)
+                pos.append(s + a)
+                seg.append(" ".join(toks[a:b]))
+                seg_n.append(b - a)
+                a = b
+        out = pd.DataFrame({"pack_id": np.asarray(pid, np.int64),
+                            "pos": np.asarray(pos, np.int64),
+                            "seg": seg,
+                            "seg_n": np.asarray(seg_n, np.int64)})
+        out["part2"] = (out["pack_id"].to_numpy() % n_parts).astype("int64")
+        return out
+
+    def stitch_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pack_id", "pos"], kind="stable")
+        rows = []
+        for p, gg in g.groupby("pack_id", sort=False):
+            txt = " ".join(gg["seg"])
+            # token count from the carried segment counts — a pack whose
+            # only token is "" would miscount via string inspection
+            rows.append((int(p), int(gg["seg_n"].sum()), txt))
+        return pd.DataFrame(rows,
+                            columns=["pack_id", "n_tokens", "pack_text"])
+
+    return (
+        fat.groupby("part")
+        .map_groups(segments_in_part, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(stitch_in_part, batch_format="pandas")
+    )
+
+
+def pack_export(docs_ds, out_dir: str, context_len: int = 2048,
+                packs_per_partition: int = 64, resume: bool = True) -> dict:
+    """Write the packed windows through the resumable partitioned sink:
+    one sealed ``part=<k>`` directory per ``packs_per_partition`` pack
+    range, atomic tmp+rename commits, reruns skip sealed ranges."""
+    from zeno_ray.sinks import write_partitioned
+
+    chunks = pack_chunks(docs_ds, context_len=context_len).materialize()
+    max_pack = chunks.max("pack_id")
+    if max_pack is None:
+        return {"written": [], "skipped": []}
+    n_ranges = int(max_pack) // packs_per_partition + 1
+
+    def make(key: str):
+        k = int(key)
+        lo, hi = k * packs_per_partition, (k + 1) * packs_per_partition
+        return chunks.filter(
+            lambda row, lo=lo, hi=hi: lo <= row["pack_id"] < hi)
+
+    return write_partitioned(make, out_dir,
+                             [str(k) for k in range(n_ranges)],
+                             resume=resume)
