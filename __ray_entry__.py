@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (30 of the 46 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (31 of the 47 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -742,6 +742,18 @@ def _q_parts_by_brand(sf_dir: str):
     return parts_by_brand(sf_dir)
 
 
+def _q_events_value_quantiles(sf_dir: str):
+    """EXACT global quantiles of the unbounded float value column via
+    the distributed sort + split_at_indices targeted block reads —
+    the range-partitioned all-to-all sort operator class."""
+    from zeno_ray.ops.relational import value_quantiles
+
+    _quiet()
+    out = value_quantiles(sf_dir)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _q_events_asof(sf_dir: str):
     """Distributed AS-OF join (DuckDB ASOF JOIN semantics): each
     purchase matched to the user's most recent click at ts <= purchase
@@ -904,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
+        "events_value_quantiles": _q_events_value_quantiles,
         "events_distinct_users": _q_events_distinct_users,
         "crawl_budget_order": _q_crawl_budget_order,
         # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib)
@@ -1162,6 +1175,12 @@ def oracle_sql() -> dict[str, str]:
         ), LATERAL (VALUES (w0), (w0 - INTERVAL 30 MINUTE)) AS t(window_start)
         GROUP BY event_type, window_start
         ORDER BY event_type, window_start""",
+        "events_value_quantiles": """
+        SELECT COUNT(*) AS n,
+               round(quantile_disc(value, 0.5), 6) AS q50,
+               round(quantile_disc(value, 0.9), 6) AS q90,
+               round(quantile_disc(value, 0.99), 6) AS q99
+        FROM events""",
         "events_asof": """
         SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
                c.event_id AS click_event_id, c.ts AS click_ts

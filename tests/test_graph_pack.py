@@ -427,3 +427,14 @@ def test_pack_export_resumable(ray_session, tmp_path):
     assert r2["written"] == [r1["written"][0]]
     assert sorted(r2["skipped"]) == sorted(r1["written"][1:])
     assert partitioned_dataset(out).count() == total
+
+
+def test_value_quantiles_matches_numpy(ray_session):
+    from zeno_ray.ops.relational import value_quantiles
+
+    got = value_quantiles(TESTDATA).iloc[0]
+    v = np.sort(pd.read_parquet(TESTDATA + "/events.parquet",
+                                columns=["value"])["value"].to_numpy())
+    assert got["n"] == len(v)
+    for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        assert got[col] == round(float(v[max(1, int(np.ceil(q * len(v)))) - 1]), 6)

@@ -441,3 +441,29 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     out["n_parts"] = out["n_parts"].astype("int64")
     out["max_size"] = out["max_size"].astype("int64")
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """EXACT global order statistics of an unbounded float column via
+    the distributed sort — ``quantile_disc`` semantics (the element at
+    index ceil(q·n)−1 of the global order).
+
+    This is the range-partitioned all-to-all sort operator class: the
+    slim single-column projection is sorted once, per-block row counts
+    stream back (blocks × 1 rows), and each target rank is read with
+    ``split_at_indices`` + ``take(1)`` — only the block containing the
+    rank is touched, so driver traffic is O(blocks + len(qs)), never
+    the data. Complements ops.text.group_quantiles, whose histogram
+    trick is exact only for bounded ints."""
+    sorted_ds = _read(sf_dir, "events", columns=["value"]) \
+        .sort("value").materialize()
+    n = sorted_ds.count()
+    row = {"n": n}
+    for q in qs:
+        r = max(1, int(np.ceil(q * n))) - 1
+        if r == 0:
+            val = sorted_ds.take(1)[0]["value"]
+        else:
+            val = sorted_ds.split_at_indices([r])[1].take(1)[0]["value"]
+        row[f"q{int(q * 100)}"] = round(float(val), 6)
+    return pd.DataFrame([row])[["n"] + [f"q{int(q*100)}" for q in qs]]
