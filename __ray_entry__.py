@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (31 of the 47 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (31 of the 48 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -632,6 +632,21 @@ def _q_doc_chars_quantiles(sf_dir: str):
     return pdf.sort_values("lang").reset_index(drop=True)
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Spherical k-means clustering of the embeddings (seeded,
+    deterministic): bounded driver-side training sample, broadcast
+    centroids, one shuffle-free assign pass. Python oracle re-runs the
+    same computation sequentially and matches exactly."""
+    import ray.data as rd
+
+    from zeno_ray.ops.ann import kmeans_assign
+
+    _quiet()
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = kmeans_assign(emb, n_clusters=16).to_pandas()
+    return pdf.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_host_pagerank(sf_dir: str):
     """PageRank over the host-level outlink graph of the crawled corpus
     (5 power iterations, d=0.85) — the iterative keyed-shuffle operator
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_components": _q_host_components,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_kmeans": _q_embedding_kmeans,
         # relational / streaming-shaped demos
         "lineitem_agg": _q_lineitem_agg,
         "orders_by_segment": _q_orders_by_segment,

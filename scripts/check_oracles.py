@@ -407,8 +407,30 @@ def check_events_distinct_users(got: pd.DataFrame, sf_dir: str) -> None:
         assert abs(gm[g] - true) / true < 0.05, (g, gm[g], true)
 
 
+def check_embedding_kmeans(got: pd.DataFrame, sf_dir: str) -> None:
+    """Sequential re-execution (same seed, same file-order sample) must
+    reproduce every cluster assignment exactly; semantic check: each
+    assignment is the argmax-cosine centroid."""
+    import os
+
+    import numpy as np
+
+    from zeno_ray.ops.ann import _normalize, kmeans_fit
+
+    emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = kmeans_fit(np.stack(emb["embedding"].to_numpy()[:2048]),
+                       16, seed=13)
+    mat = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    want = (mat @ cents.T).argmax(axis=1)
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert (got["vec_id"].to_numpy() == emb["vec_id"].to_numpy()).all()
+    assert (got["cluster"].to_numpy() == want).all(), \
+        "distributed kmeans assignment != sequential re-execution"
+
+
 PY_ORACLES = {
     "ann_topk_ivf": check_ann_topk_ivf,
+    "embedding_kmeans": check_embedding_kmeans,
     "events_distinct_users": check_events_distinct_users,
     "host_pagerank": check_host_pagerank,
     "host_components": check_host_components,

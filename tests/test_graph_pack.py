@@ -438,3 +438,14 @@ def test_value_quantiles_matches_numpy(ray_session):
     assert got["n"] == len(v)
     for q, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
         assert got[col] == round(float(v[max(1, int(np.ceil(q * len(v)))) - 1]), 6)
+
+
+def test_kmeans_assign_deterministic_and_sane(ray_session):
+    from zeno_ray.ops.ann import kmeans_assign
+
+    emb = rd.read_parquet(TESTDATA + "/embeddings.parquet")
+    a = kmeans_assign(emb, n_clusters=8).to_pandas().sort_values("vec_id")
+    b = kmeans_assign(emb, n_clusters=8).to_pandas().sort_values("vec_id")
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+    assert a["cluster"].nunique() > 1  # non-degenerate clustering
+    assert set(a["cluster"]).issubset(set(range(8)))

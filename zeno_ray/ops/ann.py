@@ -277,3 +277,36 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     )
     out["sim"] = out["sim"].round(6)
     return out
+
+
+def kmeans_assign(emb_ds, n_clusters: int = 16, train_sample: int = 2048,
+                  seed: int = 13):
+    """Spherical k-means cluster assignment over the embedding column —
+    the clustering counterpart of :func:`ivf_topk`'s index build,
+    exposed as a first-class op: train on a bounded file-order sample
+    (driver numpy, deterministic), ``ray.put`` the tiny centroid
+    matrix, assign every row in one broadcast ``map_batches`` pass (one
+    matmul per batch, no shuffle). Returns a Dataset (vec_id, cluster).
+
+    Deterministic end-to-end (seeded init, fixed sample order), so the
+    python oracle re-runs it sequentially and matches exactly."""
+    sample = emb_ds.limit(train_sample).to_pandas()
+    cents = kmeans_fit(np.stack(sample["embedding"].to_numpy()),
+                       n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    class _Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mat = _normalize(
+                np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+            return pd.DataFrame({
+                "vec_id": batch["vec_id"].astype("int64"),
+                "cluster": (mat @ self.cents.T).argmax(axis=1)
+                .astype("int64")})
+
+    return emb_ds.map_batches(
+        _Assign, fn_constructor_kwargs={"ref": cents_ref},
+        batch_format="pandas", batch_size=4096, concurrency=(1, 4))
