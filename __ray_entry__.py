@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (31 of the 48 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (32 of the 49 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -570,6 +570,33 @@ def _q_doc_pack_chunks(sf_dir: str):
     return pdf.sort_values("pack_id").reset_index(drop=True)
 
 
+def _q_doc_pack_map(sf_dir: str):
+    """Pack->document lineage: one row per (doc_id, pack_id) the doc
+    contributes tokens to — the training-data provenance index,
+    derived from the pack_plan by exploding [pack_first, pack_last]
+    ranges inside map_batches (no extra shuffle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from zeno_ray.ops.pack import pack_plan
+
+    _quiet()
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["pack_last"] - df["pack_first"] + 1).to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+            "pack_id": np.concatenate([
+                np.arange(a, b + 1, dtype=np.int64)
+                for a, b in zip(df["pack_first"], df["pack_last"])])
+            if len(df) else np.zeros(0, dtype=np.int64)})
+
+    pdf = pack_plan(docs, context_len=2048)         .map_batches(explode, batch_format="pandas").to_pandas()
+    return pdf.sort_values(["doc_id", "pack_id"]).reset_index(drop=True)
+
+
 def _q_doc_sample_stratified(sf_dir: str):
     """Deterministic per-language downsampling (en 50% / de 25% /
     rest 10%) via Knuth multiplicative hash of doc_id — the
@@ -916,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chars_quantiles": _q_doc_chars_quantiles,
         "doc_pack_plan": _q_doc_pack_plan,
         "doc_pack_chunks": _q_doc_pack_chunks,
+        "doc_pack_map": _q_doc_pack_map,
         "doc_sample_stratified": _q_doc_sample_stratified,
         "host_pagerank": _q_host_pagerank,
         "host_components": _q_host_components,
@@ -1117,6 +1145,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT p // 2048 AS pack_id, COUNT(*) AS n_tokens,
                string_agg(token, ' ' ORDER BY p) AS pack_text
         FROM pos GROUP BY 1 ORDER BY 1""",
+        "doc_pack_map": """
+        WITH t AS (
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                        AS BIGINT) AS start_token
+            FROM t)
+        SELECT doc_id, unnest(generate_series(start_token // 2048,
+               (start_token + GREATEST(n_tokens, 1) - 1) // 2048)) AS pack_id
+        FROM s ORDER BY doc_id, pack_id""",
         "doc_sample_stratified": """
         SELECT doc_id, lang FROM documents
         WHERE (doc_id * 2654435761) % 4294967296 % 10000 <
