@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (32 of the 49 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (33 of the 50 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -659,6 +659,23 @@ def _q_doc_chars_quantiles(sf_dir: str):
     return pdf.sort_values("lang").reset_index(drop=True)
 
 
+def _q_embedding_label_centroids(sf_dir: str):
+    """Per-label embedding centroid components (vector aggregate):
+    per-batch numpy reductions emit labels x dims slim partials; SQL
+    oracle reconstructs per-component sums with unnest +
+    generate_subscripts."""
+    import ray.data as rd
+
+    from zeno_ray.ops.ann import label_centroids
+
+    _quiet()
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["label", "embedding"])
+    out = label_centroids(emb)
+    out["label"] = out["label"].astype("int64")
+    return out
+
+
 def _q_embedding_kmeans(sf_dir: str):
     """Spherical k-means clustering of the embeddings (seeded,
     deterministic): bounded driver-side training sample, broadcast
@@ -949,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_components": _q_host_components,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_kmeans": _q_embedding_kmeans,
+        "embedding_label_centroids": _q_embedding_label_centroids,
         # relational / streaming-shaped demos
         "lineitem_agg": _q_lineitem_agg,
         "orders_by_segment": _q_orders_by_segment,
@@ -1232,6 +1250,13 @@ def oracle_sql() -> dict[str, str]:
         ), LATERAL (VALUES (w0), (w0 - INTERVAL 30 MINUTE)) AS t(window_start)
         GROUP BY event_type, window_start
         ORDER BY event_type, window_start""",
+        "embedding_label_centroids": """
+        WITH e AS (SELECT label, unnest(embedding) AS val,
+                          generate_subscripts(embedding, 1) AS dim
+                   FROM embeddings)
+        SELECT CAST(label AS BIGINT) AS label, dim,
+               round(SUM(val), 4) AS sum_val, COUNT(*) AS n
+        FROM e GROUP BY label, dim ORDER BY label, dim""",
         "events_value_quantiles": """
         SELECT COUNT(*) AS n,
                round(quantile_disc(value, 0.5), 6) AS q50,

@@ -449,3 +449,19 @@ def test_kmeans_assign_deterministic_and_sane(ray_session):
     assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
     assert a["cluster"].nunique() > 1  # non-degenerate clustering
     assert set(a["cluster"]).issubset(set(range(8)))
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    from zeno_ray.ops.ann import label_centroids
+
+    emb = rd.read_parquet(TESTDATA + "/embeddings.parquet",
+                          columns=["label", "embedding"])
+    got = label_centroids(emb)
+    pdf = pd.read_parquet(TESTDATA + "/embeddings.parquet",
+                          columns=["label", "embedding"])
+    for lab, g in pdf.groupby("label"):
+        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        want = mat.sum(axis=0)
+        rows = got[got["label"] == lab].sort_values("dim")
+        assert rows["n"].tolist() == [len(g)] * mat.shape[1]
+        assert np.allclose(rows["sum_val"].to_numpy(), want, atol=5.1e-5)

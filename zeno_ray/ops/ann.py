@@ -310,3 +310,38 @@ def kmeans_assign(emb_ds, n_clusters: int = 16, train_sample: int = 2048,
     return emb_ds.map_batches(
         _Assign, fn_constructor_kwargs={"ref": cents_ref},
         batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+
+
+def label_centroids(emb_ds) -> pd.DataFrame:
+    """Vector aggregate: per-label embedding sum/count (the centroid
+    numerator/denominator), one (label, dim) row per component.
+
+    The per-batch combiner does ONE numpy matmul-free reduction per
+    label (stack → groupby-sum over the matrix rows), emitting
+    labels×dims slim partial rows per block; the driver merge is tiny
+    for bounded label sets (swap for groupby(label, dim).aggregate at
+    10^6+ labels — the partial stage is unchanged). SQL-oracle-checked
+    via unnest + generate_subscripts per component."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lab, g in df.groupby("label", sort=False):
+            mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            frames.append(pd.DataFrame({
+                "label": int(lab),
+                "dim": np.arange(1, mat.shape[1] + 1, dtype=np.int64),
+                "sum_val": mat.sum(axis=0),
+                "n": np.int64(len(g))}))
+        if not frames:
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "sum_val": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    pdf = emb_ds.map_batches(partial, batch_format="pandas",
+                             batch_size=4096).to_pandas()
+    out = pdf.groupby(["label", "dim"], as_index=False).agg(
+        sum_val=("sum_val", "sum"), n=("n", "sum"))
+    out["sum_val"] = out["sum_val"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
