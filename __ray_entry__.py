@@ -4,7 +4,7 @@
 ``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
 the training-data ops); each callable takes ``sf_dir`` and returns a
 Dataset / pandas DataFrame / pyarrow Table.
-``oracle_sql()`` — DuckDB-checkable equivalents (33 of the 50 queries).
+``oracle_sql()`` — DuckDB-checkable equivalents (34 of the 51 queries).
 Crawl-family oracles read the deterministic corpus Parquet that the
 matching query materializes under /tmp/rayzeno_corpus/sf0.01 (same seeded
 generator, so the SQL and the Ray pipeline see identical inputs). Queries
@@ -801,6 +801,16 @@ def _q_parts_by_brand(sf_dir: str):
     return parts_by_brand(sf_dir)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (signup -> later click -> later
+    purchase): sequential-milestone semantics, per-user coarse shuffle,
+    vectorized merge-chain kernel per part."""
+    from zeno_ray.ops.relational import events_funnel
+
+    _quiet()
+    return events_funnel(sf_dir)
+
+
 def _q_events_value_quantiles(sf_dir: str):
     """EXACT global quantiles of the unbounded float value column via
     the distributed sort + split_at_indices targeted block reads —
@@ -979,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "events_asof": _q_events_asof,
         "events_value_quantiles": _q_events_value_quantiles,
+        "events_funnel": _q_events_funnel,
         "events_distinct_users": _q_events_distinct_users,
         "crawl_budget_order": _q_crawl_budget_order,
         # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib)
@@ -1257,6 +1268,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(label AS BIGINT) AS label, dim,
                round(SUM(val), 4) AS sum_val, COUNT(*) AS n
         FROM e GROUP BY label, dim ORDER BY label, dim""",
+        "events_funnel": """
+        WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+              JOIN s ON e.user_id = s.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+               (SELECT COUNT(*) FROM c) AS n_click,
+               (SELECT COUNT(*) FROM p) AS n_purchase""",
         "events_value_quantiles": """
         SELECT COUNT(*) AS n,
                round(quantile_disc(value, 0.5), 6) AS q50,

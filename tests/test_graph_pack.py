@@ -465,3 +465,30 @@ def test_label_centroids_matches_numpy(ray_session):
         rows = got[got["label"] == lab].sort_values("dim")
         assert rows["n"].tolist() == [len(g)] * mat.shape[1]
         assert np.allclose(rows["sum_val"].to_numpy(), want, atol=5.1e-5)
+
+
+def test_events_funnel_strict_ordering(ray_session, tmp_path):
+    from zeno_ray.ops.relational import events_funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    def ev(uid, mins, typ):
+        rows.append({"event_id": len(rows), "ts": t0 + pd.Timedelta(minutes=mins),
+                     "user_id": uid, "event_type": typ, "value": 1.0,
+                     "props": ""})
+    # u1: full ordered funnel
+    ev(1, 0, "signup"); ev(1, 5, "click"); ev(1, 9, "purchase")
+    # u2: click BEFORE signup only -> stops at signup
+    ev(2, 5, "signup"); ev(2, 1, "click")
+    # u3: purchase before click -> stops at click
+    ev(3, 0, "signup"); ev(3, 4, "click"); ev(3, 2, "purchase")
+    # u4: never signed up -> counts nowhere
+    ev(4, 0, "click"); ev(4, 1, "purchase")
+    # u5: same-ts click as signup (strict >) -> stops at signup
+    ev(5, 3, "signup"); ev(5, 3, "click")
+    pd.DataFrame(rows).to_parquet(tmp_path / "events.parquet")
+
+    out = events_funnel(str(tmp_path)).iloc[0]
+    assert out["n_signup"] == 4   # u1 u2 u3 u5
+    assert out["n_click"] == 2    # u1, u3 (click after signup)
+    assert out["n_purchase"] == 1  # u1 only

@@ -467,3 +467,53 @@ def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
             val = sorted_ds.split_at_indices([r])[1].take(1)[0]["value"]
         row[f"q{int(q * 100)}"] = round(float(val), 6)
     return pd.DataFrame([row])[["n"] + [f"q{int(q*100)}" for q in qs]]
+
+
+def events_funnel(sf_dir: str,
+                  stages=("signup", "click", "purchase")) -> pd.DataFrame:
+    """Ordered conversion funnel: users who did stage 1, then stage 2
+    STRICTLY AFTER their first stage-1 event, then stage 3 strictly
+    after that — the sequential-milestone analytics operator (not
+    expressible as independent per-stage mins).
+
+    Distributed shape: slim (user, ts, type) projection, coarse
+    ``user_id % n_parts`` shuffle (every user wholly in one part), then
+    a fully vectorized per-part kernel: first-stage-1 per user via
+    groupby-min, then each later stage is a filter + merge + groupby-min
+    chain (no per-user Python). Each part emits one count row; the
+    driver sums n_parts rows."""
+    import ray as _ray
+
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4) \
+        if _ray.is_initialized() else 32
+
+    def with_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["event_type"].isin(stages)][
+            ["user_id", "ts", "event_type"]].copy()
+        out["part"] = (out["user_id"].to_numpy() % n_parts).astype("int64")
+        return out
+
+    def funnel_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g[g["event_type"] == stages[0]] \
+            .groupby("user_id", as_index=False).agg(t=("ts", "min"))
+        counts = [len(cur)]
+        for st in stages[1:]:
+            ev = g[g["event_type"] == st][["user_id", "ts"]] \
+                .merge(cur, on="user_id", how="inner")
+            ev = ev[ev["ts"] > ev["t"]]
+            cur = ev.groupby("user_id", as_index=False).agg(t=("ts", "min"))
+            counts.append(len(cur))
+        return pd.DataFrame([counts],
+                            columns=[f"n_{st}" for st in stages])
+
+    pdf = (
+        _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+        .map_batches(with_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(funnel_in_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame([pdf.sum(axis=0)])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
