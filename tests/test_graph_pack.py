@@ -492,3 +492,50 @@ def test_events_funnel_strict_ordering(ray_session, tmp_path):
     assert out["n_signup"] == 4   # u1 u2 u3 u5
     assert out["n_click"] == 2    # u1, u3 (click after signup)
     assert out["n_purchase"] == 1  # u1 only
+
+
+# ------------------------------------------------- property tests (pure)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                max_size=300),
+       st.floats(min_value=0.01, max_value=1.0))
+def test_histogram_quantile_formula_matches_sorted_index(vals, q):
+    # the searchsorted-over-cumsum read-off must equal the element at
+    # index ceil(q*n)-1 of the sorted list (quantile_disc semantics)
+    v = np.asarray(vals, dtype=np.int64)
+    cum = np.cumsum(np.bincount(v))
+    target = max(1, int(np.ceil(q * len(v))))
+    got = int(np.searchsorted(cum, target, side="left"))
+    want = int(np.sort(v)[target - 1])
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                max_size=40),
+       st.integers(min_value=1, max_value=64))
+def test_pack_segment_slicing_partitions_stream(doc_lens, L):
+    # per-doc segment slicing (the pack_chunks kernel arithmetic) must
+    # tile the concatenated stream exactly: segments are disjoint,
+    # cover every position, and never cross a pack boundary
+    starts = np.concatenate([[0], np.cumsum(doc_lens)[:-1]])
+    covered = []
+    for s, nn in zip(starts, doc_lens):
+        a = 0
+        while a < nn:
+            p = (s + a) // L
+            b = min(nn, (p + 1) * L - s)
+            assert b > a
+            assert (s + a) // L == (s + b - 1) // L  # single pack
+            covered.append((s + a, s + b))
+            a = b
+    covered.sort()
+    pos = 0
+    for lo, hi in covered:
+        assert lo == pos
+        pos = hi
+    assert pos == sum(doc_lens)
