@@ -235,6 +235,29 @@ def run_bench() -> dict:
     ).count()
     queries["host_pagerank"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.pack import pack_chunks
+    from zeno_ray.ops.relational import asof_join_events, events_funnel
+    from zeno_ray.ops.sketch import hll_distinct
+
+    t = time.perf_counter()
+    pack_chunks(rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+                context_len=2048).count()
+    queries["doc_pack_chunks"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    asof_join_events(sf_dir)
+    queries["events_asof"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    events_funnel(sf_dir)
+    queries["events_funnel"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    hll_distinct(rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                                 columns=["event_type", "user_id"]),
+                 "event_type", "user_id").count()
+    queries["events_distinct_hll"] = round(time.perf_counter() - t, 3)
+
     t = time.perf_counter()
     lineitem_agg(sf_dir)
     queries["lineitem_agg"] = round(time.perf_counter() - t, 3)
