@@ -1289,10 +1289,15 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_disc(value, 0.99), 6) AS q99
         FROM events""",
         "events_asof": """
+        -- clicks pre-deduped to max(event_id) per (user_id, ts): the
+        -- ASOF JOIN pick among equal-ts matches is otherwise
+        -- unspecified; the Ray side applies the identical tie-break
         SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
                c.event_id AS click_event_id, c.ts AS click_ts
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, ts) c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY event_id""",
         "events_sessions": """

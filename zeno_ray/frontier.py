@@ -48,6 +48,15 @@ FRONTIER_SCHEMA = pa.schema(
 ORDER_RANK_SHIFT = np.int64(1) << np.int64(31)
 
 
+def _rank_n_parts() -> int:
+    """Coarse shuffle-partition count for the budget-mode rank shuffle —
+    a few parts per core, independent of host cardinality."""
+    import ray as _ray
+
+    return max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+        if _ray.is_initialized() else 64
+
+
 def seed_frontier(seed_urls: list[str]) -> tuple[pa.Table, dict[str, int]]:
     """Epoch-0 frontier from a seed list (order = file order, invalid URLs
     skipped, duplicates dropped first-wins — queue/item.go:53-102 +
@@ -102,20 +111,48 @@ def rank_frontier(frontier_ds, budget: int):
 
         return frontier_ds.map_batches(to_fetch_fast, batch_format="pandas"), None
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["seq_epoch", "seq_order", "seq_pos"], kind="stable")
+    # Coarse-partition shuffle, NOT a raw groupby(host): at 10^8 hosts a
+    # per-host map_groups pays Python dispatch per tiny group. Instead all
+    # rows of a host land in one of ~8×CPU parts (part = f(host) % n) and
+    # ONE vectorized kernel ranks every host in the part at once.
+    n_parts = _rank_n_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["part"] = (
+            pd.util.hash_array(df["host"].to_numpy(object))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return df
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["host", "seq_epoch", "seq_order", "seq_pos"], kind="stable"
+        ).drop(columns=["part"])
         # assets are budget-EXEMPT (rank -1): the reference fetches assets
         # outside the queue (assets.go:72-137), so politeness budgets
         # throttle page fetches only
-        is_seed = (g["type"] == "seed").to_numpy()
+        is_page = (g["type"] == "seed").to_numpy()
         rank = np.full(len(g), -1, dtype=np.int64)
-        rank[is_seed] = np.arange(int(is_seed.sum()), dtype=np.int64)
-        g = g.assign(rank=rank)
-        return g
+        n_pages = int(is_page.sum())
+        if n_pages:
+            # run-length cumcount: hosts are contiguous after the sort
+            hosts = g["host"].to_numpy(object)[is_page]
+            idx = np.arange(n_pages, dtype=np.int64)
+            change = np.empty(n_pages, dtype=bool)
+            change[0] = True
+            np.not_equal(hosts[1:], hosts[:-1], out=change[1:])
+            starts = idx[change]
+            counts = np.diff(np.append(starts, n_pages))
+            rank[is_page] = idx - np.repeat(starts, counts)
+        return g.assign(rank=rank)
 
-    ranked = frontier_ds.groupby("host").map_groups(
-        rank_group, batch_format="pandas"
-    ).materialize()
+    ranked = (
+        frontier_ds.map_batches(add_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(rank_part, batch_format="pandas")
+        .materialize()
+    )
     fetch = ranked.filter(expr=f"rank < {budget}")
     carry = ranked.filter(expr=f"rank >= {budget}")
 
@@ -211,6 +248,7 @@ class ParquetHostRegistry:
     def __init__(self, ckpt_dir: str):
         self.ckpt_dir = ckpt_dir
         self.size = 0
+        self._n_appends = 0
 
     @classmethod
     def open(cls, ckpt_dir: str) -> "ParquetHostRegistry":
@@ -238,7 +276,12 @@ class ParquetHostRegistry:
 
         d = os.path.join(self.ckpt_dir, f"hostreg_epoch_{epoch}")
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{name}.parquet")
+        # per-call counter in the name: assign() can run more than once in
+        # one epoch (HQ bare-url sideload + main candidate path) and a
+        # fixed name would silently clobber the first append's rows,
+        # losing their seq assignments from the durable registry
+        path = os.path.join(d, f"{name}-{self._n_appends:04d}.parquet")
+        self._n_appends += 1
         t = pa.table({"host": pa.array(hosts, pa.string()),
                       "host_seq": pa.array(seqs, pa.int64())})
         tmp = path + ".tmp"

@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -71,14 +70,23 @@ def batch_files(feed_dir: str, name: str) -> list[str]:
 
 def produce_batch(feed_dir: str, ds, epoch: int) -> str:
     """Export a frontier Dataset as one atomic batch dir (the producer's
-    Add call, hq.go:75-84: all-or-nothing delivery)."""
+    Add call, hq.go:75-84: all-or-nothing delivery).
+
+    The name is DETERMINISTIC per epoch: a crawl that crashes after
+    producing epoch *k*'s batch but before committing epoch *k*
+    re-produces the identical rows on re-run, and the rename REPLACES the
+    stale batch instead of leaving two copies under different names for
+    the consumer to double-ingest (crash-resume idempotence for
+    full-frontier-schema rows, which bypass the seen re-check)."""
     os.makedirs(feed_dir, exist_ok=True)
-    name = f"batch-{epoch:06d}-{uuid.uuid4().hex[:8]}"
-    tmp = os.path.join(feed_dir, name + ".tmp")
+    name = f"batch-{epoch:06d}"
+    final = os.path.join(feed_dir, name)
+    tmp = final + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
     os.makedirs(tmp, exist_ok=True)  # empty ds writes nothing
-    os.rename(tmp, os.path.join(feed_dir, name))
+    shutil.rmtree(final, ignore_errors=True)  # stale copy from a crash
+    os.rename(tmp, final)
     return name
 
 

@@ -270,7 +270,17 @@ def asof_join_events(sf_dir: str, left_type: str = "purchase",
 
     def asof_in_part(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0].sort_values("ts", kind="stable")
-        right = g[g["side"] == 1].sort_values("ts", kind="stable")
+        # deterministic tie-break among clicks sharing (user_id, ts):
+        # keep the max event_id — merge_asof would otherwise pick the
+        # last right row in read order (partitioning-dependent), and
+        # DuckDB's ASOF JOIN pick among equal-ts matches is unspecified;
+        # the oracle SQL pre-dedupes clicks the same way
+        right = (
+            g[g["side"] == 1]
+            .sort_values(["user_id", "ts", "event_id"], kind="stable")
+            .drop_duplicates(["user_id", "ts"], keep="last")
+            .sort_values("ts", kind="stable")
+        )
         if left.empty or right.empty:
             return pd.DataFrame({
                 "event_id": pd.Series([], dtype="int64"),

@@ -36,11 +36,14 @@ def _registers(values: np.ndarray, p: int) -> np.ndarray:
     reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
     # rho = (64-p) - floor(log2(w)) for w>0 else 64-p+1; w < 2^52 so
-    # float64 log2 is exact enough at p >= 12
-    rho = np.where(
-        w > 0,
-        (64 - p) - np.floor(np.log2(w.astype(np.float64))).astype(np.int64),
-        64 - p + 1,
+    # float64 log2 is exact enough at p >= 12. log2 only over the w>0
+    # mask — np.where evaluates both arms eagerly and log2(0) would emit
+    # divide-by-zero warnings (and cast -inf to int, which is undefined)
+    rho = np.full(len(w), 64 - p + 1, dtype=np.uint8)
+    nz = w > 0
+    rho[nz] = (
+        (64 - p)
+        - np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64)
     ).astype(np.uint8)
     regs = np.zeros(m, dtype=np.uint8)
     np.maximum.at(regs, reg_idx, rho)

@@ -352,17 +352,42 @@ def dedupe_candidates_within_epoch(cand_ds, strict: bool = False):
     discovered twice in one epoch. With budget=0 BFS all same-epoch
     duplicates carry the same hop, so hop assignment stays deterministic.
 
-    ``strict=True``: a full groupby(hash) shuffle choosing the winner by
-    (seq_order, seq_pos, parent_url) — byte-deterministic attribution, used
-    by the ordering-contract tests and exact-resume comparisons; costs one
-    all-to-all exchange plus per-group Python, so keep it off hot paths.
+    ``strict=True``: a coarse-partition keyed shuffle choosing the winner
+    by (seq_order, seq_pos, parent_url) — byte-deterministic attribution,
+    used by the ordering-contract tests, budget-mode crawls and
+    exact-resume comparisons. Every copy of a hash lands in one part
+    (part = hash % n_parts), the winner inside a part is picked by ONE
+    vectorized sort + drop_duplicates — never a raw groupby(hash), whose
+    near-distinct key cardinality would mean single-row pandas groups.
+    A within-batch pre-dedupe (same winner rule, so the global winner
+    always survives the combiner) cuts shuffle volume first.
     """
     if strict:
-        def first(g):
-            g = g.sort_values(["seq_order", "seq_pos", "parent_url"], kind="stable")
-            return g.iloc[:1]
+        import ray as _ray
 
-        return cand_ds.groupby("hash").map_groups(first, batch_format="pandas")
+        n_parts = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+            if _ray.is_initialized() else 64
+
+        def combine(df):
+            df = df.sort_values(
+                ["hash", "seq_order", "seq_pos", "parent_url"], kind="stable"
+            ).drop_duplicates(subset=["hash"], keep="first")
+            df = df.assign(part=(df["hash"].to_numpy(np.uint64)
+                                 % np.uint64(n_parts)).astype(np.int64))
+            return df
+
+        def first_in_part(g):
+            g = g.sort_values(
+                ["hash", "seq_order", "seq_pos", "parent_url"], kind="stable"
+            ).drop_duplicates(subset=["hash"], keep="first")
+            return g.drop(columns=["part"])
+
+        return (
+            cand_ds.map_batches(combine, batch_format="pandas",
+                                batch_size=16384)
+            .groupby("part")
+            .map_groups(first_in_part, batch_format="pandas")
+        )
 
     def batch_dedupe(df):
         df = df.sort_values(["seq_order", "seq_pos", "parent_url"], kind="stable")
