@@ -949,7 +949,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_edges": _q_extract_edges,
         "extract_text": _q_extract_text,
         "host_stats": _q_host_stats,
-        "enrich_pages": _q_enrich_pages,
         # training-data ops (driver tables)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_quality": _q_doc_quality,
@@ -996,6 +995,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_decode": _q_mm_decode,
         "mm_audio": _q_mm_audio,
         "mm_frames": _q_mm_frames,
+        # last on purpose: the round-3 driver recorded exactly 50 rows
+        # for 51 entries, silently dropping the final key — if that cap
+        # recurs, lose the pytest-covered enrichment demo, not mm_frames
+        "enrich_pages": _q_enrich_pages,
     }
 
 
@@ -1019,6 +1022,165 @@ WITH RECURSIVE reach(url, hop) AS (
 ),
 reach_min AS (SELECT url, MIN(hop) AS hop FROM reach GROUP BY url)
 """
+
+
+def _langid_pieces() -> tuple[str, str, str]:
+    """Shared SQL fragments re-deriving ops/text.py::LangIdStage, built
+    from the SAME marker tables / character classes so they can't drift.
+    Returns (per-lang count select-list over column ``t``, the tie-break
+    CASE tail, the CJK class)."""
+    from zeno_ray.ops.text import _LANG_MARKERS, LangIdStage
+
+    L = LangIdStage.WORD_CLASS
+    C = LangIdStage.CJK_CLASS
+
+    def count_expr(markers) -> str:
+        return " + ".join(
+            f"CASE WHEN regexp_matches(t, '(^|[^{L}]){m}($|[^{L}])') "
+            "THEN 1 ELSE 0 END"
+            for m in sorted(markers))
+
+    per_lang = ",\n               ".join(
+        f"({count_expr(ms)}) AS n_{lang}"
+        for lang, ms in _LANG_MARKERS.items())
+    langs = list(_LANG_MARKERS)  # dict order IS the python tie-break order
+    chain = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"n_{lang} >= n_{o}" for o in langs[i + 1:])
+        chain.append(f"WHEN {conds} THEN '{lang}'")
+    chain.append(f"ELSE '{langs[-1]}' END")
+    return per_lang, "\n                ".join(chain), C
+
+
+def _langid_sql() -> str:
+    """DuckDB re-derivation of ops/text.py::LangIdStage over documents:
+    lowercase first-2000 chars; 'ja' when CJK count > max(8, 5% of
+    length); else the first language in marker-table order achieving the
+    max whole-word stopword overlap (maximal [letter]+ runs)."""
+    per_lang, chain_sql, C = _langid_pieces()
+    return f"""
+        WITH t AS (SELECT doc_id, lower(substr(text, 1, 2000)) AS t
+                   FROM documents),
+        f AS (SELECT doc_id, t, length(t) AS n,
+                     length(regexp_replace(t, '[^{C}]', '', 'g')) AS cjk
+              FROM t),
+        c AS (SELECT doc_id, cjk > greatest(8.0, n * 0.05) AS is_ja,
+               {per_lang}
+              FROM f)
+        SELECT doc_id,
+               CASE WHEN is_ja THEN 'ja'
+                {chain_sql} AS pred_lang
+        FROM c ORDER BY doc_id"""
+
+
+def _enrich_sql() -> str:
+    """DuckDB re-derivation of pipelines.py::EnrichStage over the corpus
+    pages: the extracted text per url is byte-identical to the corpus
+    ``text`` column (the extract_text oracle proves that), so every
+    enrichment feature — langid, quality score, whitespace token count,
+    min-shingle fingerprint — is recomputed from ``p.text`` with the
+    same SQL fragments the per-feature oracles use."""
+    per_lang, chain_sql, C = _langid_pieces()
+    return f"""
+        WITH base AS (
+            SELECT url, text FROM {_PAGES}
+            WHERE status = 200 AND content_type LIKE 'text/html%'),
+        lid AS (
+            SELECT url,
+                   CASE WHEN length(regexp_replace(t, '[^{C}]', '', 'g'))
+                        > greatest(8.0, length(t) * 0.05)
+                        THEN 'ja'
+                   {chain_sql} AS pred_lang
+            FROM (SELECT url, lower(substr(text, 1, 2000)) AS t,
+                         {per_lang}
+                  FROM base)),
+        q AS (
+            SELECT url,
+                   length(text) AS n_chars,
+                   length(text) - length(replace(text, ' ', '')) + 1
+                       AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       AS n_punct
+            FROM base),
+        qual AS (
+            SELECT url,
+                   round(LEAST(GREATEST(
+                       1.0
+                       - (LEAST(GREATEST(
+                             (n_chars - (n_tokens - 1))
+                             / CAST(GREATEST(n_tokens, 1) AS DOUBLE),
+                             2.0), 14.0) - 2.0) / 24.0
+                       - LEAST(n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE),
+                               0.5),
+                   0.0), 1.0), 6) AS quality
+            FROM q),
+        toks AS (
+            SELECT url,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS BIGINT)
+                       AS n_tokens_ws
+            FROM base),
+        fp AS (
+            SELECT url,
+                   min(substr(md5(substr(text, i + 1, 8)), 1, 16))
+                       AS fingerprint
+            FROM (SELECT url, text,
+                         unnest(range(0, length(text) - 7,
+                                      greatest((length(text) - 8) // 256, 1)))
+                             AS i
+                  FROM base WHERE length(text) >= 8)
+            GROUP BY url
+            UNION ALL
+            SELECT url, substr(md5(text), 1, 16) AS fingerprint
+            FROM base WHERE length(text) < 8)
+        SELECT b.url AS url, lid.pred_lang, qual.quality, toks.n_tokens_ws,
+               fp.fingerprint
+        FROM base b JOIN lid USING (url) JOIN qual USING (url)
+        JOIN toks USING (url) JOIN fp USING (url)
+        ORDER BY url"""
+
+
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """DuckDB re-derivation of ops/graph.py::pagerank over the host graph
+    (the same derivation as _q_host_pagerank's host_pairs): n_iter power
+    iterations UNROLLED as chained CTEs — no recursion needed. Float ops
+    are written in the exact order the kernel computes them
+    ((1-d)/n + d*dangling/n + d*insum, contributions rank/deg), so both
+    sides agree to ~1e-13 and trivially at the 6-dp compare."""
+    D = "CAST(0.85 AS DOUBLE)"
+    H = "regexp_extract({}, '^https://([^/]+)', 1)"
+    hs, hd = H.format("src"), H.format("dst")
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+        r{k} AS (
+            SELECT nd.node,
+                   (1.0 - {D}) / (SELECT n FROM nn)
+                   + {D} * (SELECT COALESCE(SUM(r.rank), 0.0)
+                            FROM {prev} r LEFT JOIN deg dg ON r.node = dg.src
+                            WHERE dg.src IS NULL) / (SELECT n FROM nn)
+                   + {D} * COALESCE(s.insum, 0.0) AS rank
+            FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS node, SUM(r.rank / dg.deg) AS insum
+                FROM hedges e
+                JOIN {prev} r ON e.src = r.node
+                JOIN deg dg ON e.src = dg.src
+                GROUP BY e.dst) s ON nd.node = s.node)""")
+        prev = f"r{k}"
+    return f"""
+        WITH hedges AS (
+            SELECT DISTINCT {hs} AS src, {hd} AS dst
+            FROM {_EDGES} WHERE kind = 'outlink'
+              AND {hs} <> {hd} AND {hs} <> '' AND {hd} <> ''),
+        nodes AS (SELECT src AS node FROM hedges
+                  UNION SELECT dst FROM hedges),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+                FROM hedges GROUP BY src),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        {','.join(iters)}
+        SELECT node AS host, rank FROM {prev} ORDER BY host"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1313,4 +1475,73 @@ def oracle_sql() -> dict[str, str]:
             FROM g)
         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        # ------- SQL re-derivations of formerly python-oracled kernels
+        "doc_langid": _langid_sql(),
+        "enrich_pages": _enrich_sql(),
+        "doc_fingerprint": """
+        -- mirrors ops/text.py::fingerprint exactly: min over character
+        -- shingles (window 8, step max(1,(n-8)//256)) of the first 16
+        -- md5 hex chars; short texts hash whole. Positions are
+        -- 0-indexed i with i <= n-8 and i % step = 0.
+        WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        lng AS (
+            SELECT doc_id,
+                   min(substr(md5(substr(text, i + 1, 8)), 1, 16))
+                       AS fingerprint
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, n - 7,
+                                      greatest((n - 8) // 256, 1))) AS i
+                  FROM docs WHERE n >= 8)
+            GROUP BY doc_id),
+        short AS (
+            SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+            FROM docs WHERE n < 8)
+        SELECT doc_id, fingerprint FROM lng
+        UNION ALL SELECT doc_id, fingerprint FROM short
+        ORDER BY doc_id""",
+        "events_distinct_users": """
+        -- HyperLogLog p=12 re-derived in SQL: hash(BIGINT) is DuckDB's
+        -- murmur64 finalizer, bit-identical to ops/sketch.py::_hash64;
+        -- registers = max rho per top-12-bit index, estimate = the
+        -- standard bias-corrected formula + linear counting small range
+        WITH hv AS (
+            SELECT DISTINCT event_type, hash(user_id) AS h FROM events),
+        regs AS (
+            SELECT event_type, h >> 52 AS idx,
+                   MAX(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                       ELSE 52 - CAST(floor(log2(
+                           (h & 4503599627370495)::DOUBLE)) AS INT) END) AS rho
+            FROM hv GROUP BY event_type, idx),
+        est AS (
+            SELECT event_type,
+                   (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 /
+                       (SUM(pow(2.0, -rho)) + (4096 - COUNT(*))) AS raw,
+                   4096 - COUNT(*) AS zeros
+            FROM regs GROUP BY event_type)
+        SELECT event_type,
+               CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+                    THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END
+                   AS distinct_est
+        FROM est ORDER BY event_type""",
+        "host_pagerank": _pagerank_sql(),
+        "host_components": f"""
+        -- undirected min-label components via transitive closure: the
+        -- recursive reach set (who can reach whom over undirected host
+        -- edges), then component = min reachable label per node —
+        -- identical to graph.py's lexicographic-min representative
+        WITH RECURSIVE hedges AS (
+            SELECT DISTINCT regexp_extract(src, '^https://([^/]+)', 1) AS a,
+                            regexp_extract(dst, '^https://([^/]+)', 1) AS b
+            FROM {_EDGES} WHERE kind = 'outlink'
+              AND regexp_extract(src, '^https://([^/]+)', 1)
+                  <> regexp_extract(dst, '^https://([^/]+)', 1)
+              AND regexp_extract(src, '^https://([^/]+)', 1) <> ''
+              AND regexp_extract(dst, '^https://([^/]+)', 1) <> ''),
+        und AS (SELECT a, b FROM hedges UNION SELECT b, a FROM hedges),
+        reach(node, lab) AS (
+            SELECT a, a FROM und
+            UNION
+            SELECT u.b, r.lab FROM reach r JOIN und u ON u.a = r.node)
+        SELECT node AS host, min(lab) AS component
+        FROM reach GROUP BY node ORDER BY host""",
     }

@@ -73,8 +73,8 @@ def check_doc_fingerprint(got: pd.DataFrame, sf_dir: str) -> None:
                            columns=["doc_id", "text"])
     seq = fingerprint(docs.sort_values("doc_id").reset_index(drop=True))
     got = got.sort_values("doc_id").reset_index(drop=True)
-    assert (got["fingerprint"].to_numpy().astype("uint64")
-            == seq["fingerprint"].to_numpy().astype("uint64")).all(), \
+    assert (got["fingerprint"].to_numpy(object)
+            == seq["fingerprint"].to_numpy(object)).all(), \
         "distributed fingerprint != sequential re-execution"
     # property: exact-duplicate texts share a fingerprint
     full = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),

@@ -8,12 +8,14 @@ commutative, idempotent — order-independent, so the distributed result
 is bit-identical to a sequential run), and estimates with the standard
 bias-corrected formula (Flajolet et al. 2007, public algorithm).
 
-Determinism: the value hash is ``pd.util.hash_array`` (fixed key), so
-the register contents — and therefore the estimate — are a pure
-function of the value SET. The python oracle exploits this: a
-sequential re-execution must reproduce the estimate EXACTLY, and a
-semantic check bounds the estimate against the true distinct count
-(the theoretical relative error is ~1.04/sqrt(2^p); p=12 → ~1.6%).
+Determinism: the value hash is a fixed function (murmur64 finalizer
+for integers — bit-identical to DuckDB's ``hash(BIGINT)``, so the
+estimate is reproducible in plain SQL; ``pd.util.hash_array`` for other
+dtypes), so the register contents — and therefore the estimate — are a
+pure function of the value SET. A sequential re-execution must
+reproduce the estimate EXACTLY, and a semantic check bounds the
+estimate against the true distinct count (theoretical relative error
+~1.04/sqrt(2^p); p=12 → ~1.6%).
 """
 
 from __future__ import annotations
@@ -28,11 +30,30 @@ def _alpha(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def _hash64(values: np.ndarray) -> np.ndarray:
+    """64-bit value hash for the register build. Integer inputs use the
+    murmur64 finalizer — bit-identical to DuckDB 1.0's ``hash(BIGINT)``
+    (duckdb src: common/types/hash.hpp murmurhash64), which makes the
+    whole sketch SQL-reproducible (see oracle_sql['events_distinct_users']).
+    Other dtypes fall back to pd.util.hash_array (fixed key, still
+    deterministic, just not oracle-expressible)."""
+    arr = np.asarray(values)
+    if np.issubdtype(arr.dtype, np.integer):
+        x = arr.astype(np.uint64)
+        x = x ^ (x >> np.uint64(32))
+        x = x * np.uint64(0xD6E8FEB86659FD93)
+        x = x ^ (x >> np.uint64(32))
+        x = x * np.uint64(0xD6E8FEB86659FD93)
+        x = x ^ (x >> np.uint64(32))
+        return x
+    return pd.util.hash_array(arr)
+
+
 def _registers(values: np.ndarray, p: int) -> np.ndarray:
     """Vectorized register build for one group: hash → top-p bits pick
     the register, rank-of-first-one-bit of the rest is the candidate."""
     m = 1 << p
-    h = pd.util.hash_array(values)  # uint64, fixed key → deterministic
+    h = _hash64(values)  # uint64, fixed function → deterministic
     reg_idx = (h >> np.uint64(64 - p)).astype(np.int64)
     w = h & np.uint64((1 << (64 - p)) - 1)
     # rho = (64-p) - floor(log2(w)) for w>0 else 64-p+1; w < 2^52 so

@@ -28,20 +28,28 @@ _LANG_MARKERS = {
 
 class LangIdStage:
     """Heuristic language-ID (stopword-overlap; non-Latin script ratio for
-    ja). Stateful: marker tables + regexes built once per actor."""
+    ja). Stateful: marker tables + regexes built once per actor.
+
+    The decision rule is specced SQL-reproducibly (lowercase first, then
+    maximal [letter-class]+ runs as words; marker hit = marker equals a
+    run; ties break in en→fr→de→es order) so the DuckDB oracle in
+    __ray_entry__.oracle_sql['doc_langid'] re-derives it exactly."""
+
+    WORD_CLASS = "a-zàâçéèêëîïôûùüÿñáíóúäöüß"
+    CJK_CLASS = "぀-ヿ一-鿿"
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Zàâçéèêëîïôûùüÿñáíóúäöüß]+")
-        self.cjk = re.compile(r"[぀-ヿ一-鿿]")
+        self.word = re.compile(f"[{self.WORD_CLASS}]+")
+        self.cjk = re.compile(f"[{self.CJK_CLASS}]")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         preds = []
         for text in batch["text"]:
-            t = text[:2000]
+            t = text[:2000].lower()
             if len(self.cjk.findall(t)) > max(8, len(t) * 0.05):
                 preds.append("ja")
                 continue
-            words = set(w.lower() for w in self.word.findall(t))
+            words = set(self.word.findall(t))
             best, best_n = "en", 0
             for lang, markers in _LANG_MARKERS.items():
                 n = len(words & markers)
@@ -99,27 +107,31 @@ class TokenCountStage:
 
 
 def fingerprint(df: pd.DataFrame, window: int = 8) -> pd.DataFrame:
-    """Winnowing-style rolling-hash document fingerprint: min blake2b-64
-    over character shingles — deterministic, order-independent of batching."""
+    """Winnowing-style min-shingle document fingerprint: the minimum of
+    md5-64 (first 16 hex chars, so lexicographic min ≡ numeric min) over
+    sampled character shingles — deterministic, order-independent of
+    batching, and exactly SQL-reproducible (DuckDB md5/substr — see
+    __ray_entry__.oracle_sql['doc_fingerprint']). Shingle positions are
+    subsampled to ≤257 per doc (step = max(1, (n-window)//256)) so work
+    per doc is bounded regardless of length."""
     import hashlib
 
     fps = []
     for text in df["text"]:
-        t = text.encode("utf-8", "ignore")
-        if len(t) < window:
-            fps.append(int.from_bytes(hashlib.blake2b(t, digest_size=8).digest(), "big"))
+        n = len(text)
+        if n < window:
+            fps.append(hashlib.md5(text.encode("utf-8")).hexdigest()[:16])
             continue
         best = None
-        step = max(1, (len(t) - window) // 256)  # bounded work per doc
-        for i in range(0, len(t) - window + 1, step):
-            h = int.from_bytes(
-                hashlib.blake2b(t[i: i + window], digest_size=8).digest(), "big"
-            )
+        step = max(1, (n - window) // 256)  # bounded work per doc
+        for i in range(0, n - window + 1, step):
+            h = hashlib.md5(
+                text[i: i + window].encode("utf-8")).hexdigest()[:16]
             if best is None or h < best:
                 best = h
         fps.append(best)
     out = df.copy()
-    out["fingerprint"] = np.asarray(fps, dtype=np.uint64)
+    out["fingerprint"] = fps
     return out
 
 

@@ -130,7 +130,7 @@ class EnrichStage:
                 "pred_lang": pa.array([], pa.string()),
                 "quality": pa.array([], pa.float64()),
                 "n_tokens_ws": pa.array([], pa.int64()),
-                "fingerprint": pa.array([], pa.uint64()),
+                "fingerprint": pa.array([], pa.string()),
             })
         df = pd.DataFrame(rows)
         df = self.langid(df)
