@@ -357,11 +357,12 @@ def _q_ann_topk_lsh(sf_dir: str):
     """Random-hyperplane LSH approximate top-k for the same three queries
     as ann_topk; python-oracled for recall ≥ 0.8 vs brute-force truth plus
     every reported sim == true cosine. Uniform-random embeddings are the
-    LSH worst case (no cluster structure; hamming≤2 measured recall 0.7
-    here), so the query probes hamming≤3 of 6 planes (42/64 buckets ≈ 66%
-    of rows — same worst-case regime as ann_topk_ivf's nprobe=12/16;
-    clustered real embeddings recall ≥0.93 at hamming≤1-2 of 3-8 planes,
-    see test_lsh_topk_recall)."""
+    LSH worst case (no cluster structure), so the query uses
+    QUERY-DIRECTED multi-probe (directed_probes): the 36 cheapest-margin
+    buckets of 6 planes — measured recall 0.87 scanning ~59% of rows vs
+    the old blind hamming≤3 ball's 42 buckets / 66% of rows. Clustered
+    real embeddings reach recall ≥0.9 probing ≤10% of rows
+    (test_lsh_topk_directed_clustered)."""
     import ray.data as rd
 
     from zeno_ray.ops.ann import lsh_topk
@@ -373,7 +374,7 @@ def _q_ann_topk_lsh(sf_dir: str):
     )
     out = lsh_topk(
         rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        queries, k=10, n_planes=6, max_hamming=3,
+        queries, k=10, n_planes=6, probes=36,
     )[["q", "vec_id", "sim"]]
     out["q"] = out["q"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")

@@ -80,6 +80,10 @@ def run_bench() -> dict:
                                             str(64 * ncpus))),
         extract_batch_size=int(os.environ.get("RAYZENO_EXTRACT_BS",
                                               str(32 * ncpus))),
+        # pages-sink compaction target (0 disables; A/B knob — compaction
+        # runs on the committer thread, overlapped with the next epoch)
+        pages_target_part_bytes=int(os.environ.get(
+            "RAYZENO_PAGES_TARGET", str(128 * 1024 * 1024))),
     )
 
     queries: dict[str, float] = {}

@@ -278,9 +278,9 @@ def check_ann_topk_ivf(got: pd.DataFrame, sf_dir: str) -> None:
 
 def check_ann_topk_lsh(got: pd.DataFrame, sf_dir: str) -> None:
     """Ground truth: exact cosine top-10 per query from numpy; the LSH
-    result (n_planes=6, hamming≤3 — a 42/64-bucket probe) must have
-    recall ≥ 0.8 on these worst-case uniform embeddings and every
-    reported sim must equal the true cosine of its (q, vec_id) pair."""
+    result (n_planes=6, query-directed probes=36) must have recall ≥ 0.8
+    on these worst-case uniform embeddings and every reported sim must
+    equal the true cosine of its (q, vec_id) pair."""
     emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)

@@ -37,6 +37,30 @@ def test_flags_override_env(tmp_path):
     assert cfg.max_hops == 3        # flags win over env
 
 
+def test_consul_kv_layer_lowest_precedence(tmp_path):
+    """config.go:129-144 stand-in: the consul KV document (a local
+    yaml/json file, no network) sits BELOW the config file in viper's
+    layer order — yaml/env/flags all override it, and it fills in where
+    the higher layers are silent."""
+    kv = tmp_path / "zeno-kv.yaml"
+    kv.write_text("max-hops: 9\nmax-retry: 2\nseen-shards: 3\n")
+    y = tmp_path / "c.yaml"
+    y.write_text("max-hops: 5\n")
+    cfg = load_config(yaml_path=str(y), env={"RAYZENO_MAX_RETRY": "6"},
+                      consul_kv_path=str(kv))
+    assert cfg.max_hops == 5       # config file wins over consul
+    assert cfg.max_retry == 6      # env wins over consul
+    assert cfg.seen_shards == 3    # consul fills in where others silent
+    # reference flag surface: consul-config gates, consul-path locates
+    kvj = tmp_path / "zeno-kv.json"
+    kvj.write_text('{"max-hops": 11}')
+    cfg = load_config(flags={"consul-config": True,
+                             "consul-path": str(kvj)}, env={})
+    assert cfg.max_hops == 11
+    cfg = load_config(flags={"consul-path": str(kvj)}, env={})
+    assert cfg.max_hops == 2       # not gated on ⇒ layer ignored
+
+
 def test_alias_keys():
     # handleFlagsAliases: hops → max-hops; cookies → cookie-file
     cfg = load_config(flags={"hops": 4, "cookies": "/tmp/c.txt"}, env={})

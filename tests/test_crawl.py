@@ -182,6 +182,61 @@ def test_metrics_lineage_written(crawl_result):
     assert rd.read_parquet(lineage).count() > 0
 
 
+def test_compaction_crash_resume_idempotent(tmp_path):
+    """A compaction pass that dies mid-way (manifest written, one bin
+    merged, sources half-deleted) must finish to the identical end state
+    on re-run: same rows, no duplicates, manifest gone."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from zeno_ray.crawl import (_COMPACT_MANIFEST, _compact_checkpoint,
+                                _execute_compaction_bin, _plan_compaction)
+
+    d = tmp_path / "pages_epoch_0"
+    d.mkdir()
+    for i in range(6):
+        pq.write_table(pa.table({"url": [f"u{i}a", f"u{i}b"]}),
+                       str(d / f"part-{i:02d}.parquet"))
+    plan = _plan_compaction(str(d), 10**9)
+    assert len(plan) == 1 and len(plan[0]["sources"]) == 6
+    (d / _COMPACT_MANIFEST).write_text(json.dumps(plan))
+    # simulate a crash: output merged, only SOME sources deleted
+    _execute_compaction_bin(str(d), plan[0])
+    pq.write_table(pa.table({"url": ["u0a", "u0b"]}),
+                   str(d / "part-00.parquet"))  # resurrect one source
+    _compact_checkpoint(str(tmp_path), 10**9)
+    files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+    assert files == [plan[0]["output"]]
+    assert not (d / _COMPACT_MANIFEST).exists()
+    rows = sorted(pq.read_table(str(d / files[0]))["url"].to_pylist())
+    assert rows == sorted(f"u{i}{s}" for i in range(6) for s in "ab")
+
+
+def test_pages_parts_compacted_per_epoch(tmp_path):
+    """Small-files control: the sink writes one Parquet part per batch,
+    and the epoch commit compacts them toward the configured target —
+    with the default 128MB target every committed pages_epoch_k dir of
+    this tiny crawl collapses to ONE part, while the row content is
+    untouched (same urls, same count). A huge target must also leave the
+    per-batch shape unreadable to queries — only file counts change."""
+    ckpt = str(tmp_path / "ckpt_compact")
+    cfg = CrawlConfig(**{**CFG.__dict__, "extract_batch_size": 16})
+    res = run_crawl(SPEC, cfg, ckpt)
+    total = 0
+    for name in sorted(os.listdir(ckpt)):
+        if not name.startswith("pages_epoch_"):
+            continue
+        parts = [f for f in os.listdir(os.path.join(ckpt, name))
+                 if f.endswith(".parquet")]
+        assert len(parts) <= 1, f"{name} not compacted: {parts}"
+        total += len(parts)
+    assert total >= 1
+    pdf = res.pages_dataset().to_pandas()
+    assert len(pdf) == res.pages_fetched
+    assert pdf["url"].is_unique
+
+
 # ------------------------------------------------------- resume
 
 

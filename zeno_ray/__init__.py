@@ -13,7 +13,7 @@ __version__ = "0.2.0"
 # Bump on ANY change to the crawl engine's persisted output (pages schema,
 # frontier schema, commit layout) — cached crawls under /tmp/rayzeno_crawl
 # are stamped with this so stale-schema checkpoints regenerate.
-ENGINE_VERSION = 3
+ENGINE_VERSION = 4
 
 
 def _shim_fsspec_http() -> None:

@@ -26,6 +26,9 @@ class CrawlConfig:
 
     # rebuild-side execution knobs (no reference equivalent; Ray-native)
     host_budget: int = 0  # rows per host per epoch; 0 = unlimited (pure BFS)
+    pages_target_part_bytes: int = 128 * 1024 * 1024  # epoch-commit pages
+    # compaction target: per-batch sink parts are merged up to ~this size
+    # on the committer thread (small-files control at 100-TB scale)
     max_epochs: int = 64
     seen_shards: int = 8
     fetch_concurrency: int = 4  # Fetcher actor pool size
@@ -105,13 +108,22 @@ def _coerce(value, target_type):
 
 
 def load_config(flags: dict | None = None, yaml_path: str | None = None,
-                env: dict | None = None) -> CrawlConfig:
+                env: dict | None = None,
+                consul_kv_path: str | None = None) -> CrawlConfig:
     """Build a CrawlConfig with the reference's precedence chain
-    (config.go:98-156: flags → env → config file → defaults; viper's
-    AutomaticEnv with the ``ZENO_`` prefix and ``-``/``.`` → ``_``
-    replacement becomes ``RAYZENO_<FIELD>``; the consul remote layer is
-    out of scope — no network). Alias keys (``hops`` → ``max_hops``)
-    are accepted in every layer, like handleFlagsAliases."""
+    (config.go:98-156: flags → env → config file → consul KV → defaults,
+    viper's standard layer order; AutomaticEnv with the ``ZENO_`` prefix
+    and ``-``/``.`` → ``_`` replacement becomes ``RAYZENO_<FIELD>``).
+
+    The consul layer (config.go:129-144 — ``viper.AddRemoteProvider(
+    "consul", addr, path)`` gated on ``consul-config`` +
+    ``consul-address``) is a NETWORK-FREE stand-in here: the remote KV
+    document is a local yaml/json file, passed as *consul_kv_path* or —
+    mirroring the reference's flag surface — as flags ``consul_config``
+    (truthy) + ``consul_path`` (the document path; the reference splits
+    it into KV prefix + file name, config.go:136-139). Alias keys
+    (``hops`` → ``max_hops``) are accepted in every layer, like
+    handleFlagsAliases."""
     import dataclasses
     import os
 
@@ -130,7 +142,24 @@ def load_config(flags: dict | None = None, yaml_path: str | None = None,
         return resolved.get(t, t) if isinstance(t, str) else t
 
     values: dict = {}
-    # layer 1 (lowest): yaml config file
+    # layer 0 (lowest): consul KV document stand-in
+    raw_flags = {norm_key(k): v for k, v in (flags or {}).items()}
+    if consul_kv_path is None and _coerce(
+            raw_flags.get("consul_config", False), bool):
+        consul_kv_path = str(raw_flags.get("consul_path", "") or "")
+    if consul_kv_path and os.path.exists(consul_kv_path):
+        import json as _json
+
+        import yaml as _yaml
+
+        text = open(consul_kv_path).read()
+        loader = (_json.loads if consul_kv_path.endswith(".json")
+                  else _yaml.safe_load)
+        for k, v in (loader(text) or {}).items():
+            k = norm_key(k)
+            if k in field_types:
+                values[k] = _coerce(v, typ(k))
+    # layer 1: yaml config file
     if yaml_path and os.path.exists(yaml_path):
         import yaml as _yaml
 

@@ -512,6 +512,10 @@ def run_crawl(
         if api_server is not None:
             api_server.close()
 
+    # every epoch committed; the cluster is idle — compact the sink's
+    # per-batch parts (small-files control; see _compact_checkpoint)
+    _compact_checkpoint(ckpt_dir, cfg.pages_target_part_bytes)
+
     return CrawlResult(
         ckpt_dir=ckpt_dir,
         epochs=k - start_epoch,
@@ -557,6 +561,120 @@ def _epoch_boundary_guard(cfg, t_start: float, ckpt_dir: str,
                   flush=True)
             sleep(1.0)
     return "run"
+
+
+_COMPACT_MANIFEST = ".compact_manifest.json"
+
+
+def _plan_compaction(dirpath: str, target_bytes: int) -> list[dict]:
+    """Greedy size bins over the dir's parts; only multi-file bins are
+    work. Output names are content-addressed (digest of the source name
+    list) so a re-plan after a partial earlier pass can never collide
+    with — or re-consume — its own output."""
+    import hashlib
+
+    files = sorted(f for f in os.listdir(dirpath) if f.endswith(".parquet"))
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_sz = 0
+    for f in files:
+        cur.append(f)
+        cur_sz += os.path.getsize(os.path.join(dirpath, f))
+        if cur_sz >= target_bytes:
+            bins.append(cur)
+            cur, cur_sz = [], 0
+    if cur:
+        bins.append(cur)
+    out = []
+    for b in bins:
+        if len(b) <= 1:
+            continue
+        digest = hashlib.blake2b("|".join(b).encode(),
+                                 digest_size=12).hexdigest()
+        out.append({"sources": b, "output": f"part-c{digest}.parquet"})
+    return out
+
+
+def _execute_compaction_bin(dirpath: str, spec: dict) -> None:
+    """Merge one manifest bin (idempotent): if the output part already
+    exists (a crashed earlier pass), just delete the remaining sources;
+    else stream the sources through a ParquetWriter (peak memory = one
+    source part), atomically replace, then delete the sources."""
+    import pyarrow.parquet as pq
+
+    final = os.path.join(dirpath, spec["output"])
+    if not os.path.exists(final):
+        tmp = final + ".tmp"
+        writer = None
+        for f in spec["sources"]:
+            t = pq.read_table(os.path.join(dirpath, f))
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, t.schema)
+            writer.write_table(t)
+        if writer is not None:
+            writer.close()
+        os.replace(tmp, final)
+    for f in spec["sources"]:
+        if f != spec["output"]:
+            try:
+                os.remove(os.path.join(dirpath, f))
+            except FileNotFoundError:
+                pass  # already deleted by the crashed pass
+
+
+def _compact_checkpoint(ckpt_dir: str, target_bytes: int) -> None:
+    """Post-crawl small-files compaction: merge each epoch dir's
+    per-batch Parquet parts into ~target_bytes files.
+
+    The sink is forced to one part per batch by at-least-once task
+    semantics (a part must be durable before its map task reports
+    success), which a 100× crawl would turn into millions of tiny files.
+    Compaction runs ONCE, after every epoch has committed, when the
+    cluster is idle — measured overlap attempts at sf0.1 (committer
+    thread: 50.5 s → 62-64 s; ray tasks alongside the next epoch:
+    → 79 s) showed any in-crawl placement contends with the pipeline for
+    disk, while the idle-cluster pass costs ~2-4 s wall.
+
+    Crash-safe + resumable: per-dir manifests are written atomically
+    BEFORE any merge; each bin is idempotent (output exists ⇒ only
+    delete leftover sources); the manifest is removed last, so a crash
+    anywhere re-runs to the identical end state on the next resume."""
+    import json as _json
+
+    if target_bytes <= 0:
+        return
+    work: list[tuple[str, dict]] = []
+    for name in sorted(os.listdir(ckpt_dir)):
+        if not (name.startswith("pages_epoch_")
+                or name.startswith("counts_epoch_")
+                or name.startswith("meta_epoch_")):
+            continue
+        d = os.path.join(ckpt_dir, name)
+        if not os.path.isdir(d):
+            continue
+        mpath = os.path.join(d, _COMPACT_MANIFEST)
+        if os.path.exists(mpath):
+            plan = _json.load(open(mpath))  # crashed pass: finish it
+        else:
+            tgt = 1 << 40 if name.startswith("counts_") else target_bytes
+            plan = _plan_compaction(d, tgt)
+            if not plan:
+                continue
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(plan, f)
+            os.replace(tmp, mpath)
+        work.extend((d, spec) for spec in plan)
+    if work and ray.is_initialized():
+        execute = ray.remote(num_cpus=1)(_execute_compaction_bin)
+        ray.get([execute.remote(d, spec) for d, spec in work])
+    else:
+        for d, spec in work:
+            _execute_compaction_bin(d, spec)
+    for name in os.listdir(ckpt_dir):
+        mpath = os.path.join(ckpt_dir, name, _COMPACT_MANIFEST)
+        if os.path.exists(mpath):
+            os.remove(mpath)
 
 
 def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,

@@ -89,6 +89,31 @@ def probe_signatures(sig: int, n_planes: int, max_hamming: int) -> list[int]:
     return out
 
 
+def directed_probes(sig: int, margins: np.ndarray, n_probes: int,
+                    max_flips: int = 4, pool: int = 14) -> list[int]:
+    """Query-directed multi-probe (the Lv et al. 2007 idea, public
+    algorithm): rank candidate buckets by the COST of reaching them —
+    the sum of |query·plane| margins over the flipped planes — and take
+    the *n_probes* cheapest. A bucket that differs only in planes the
+    query sits right on top of is almost as likely to hold neighbors as
+    the home bucket, so this finds far more neighbors per probed bucket
+    than a blind hamming ball. Deterministic: ties break on the flip
+    mask. Candidate flips are capped at *max_flips* bits over the *pool*
+    cheapest planes (C(14,4)+C(14,3)+... ≈ 1.5k scored candidates per
+    query — driver-side, negligible)."""
+    from itertools import combinations
+
+    a = np.abs(np.asarray(margins, dtype=np.float64))
+    order = np.argsort(a, kind="stable")[:min(len(a), pool)]
+    cand: list[tuple[float, int]] = [(0.0, 0)]
+    for r in range(1, max_flips + 1):
+        for bits in combinations(order.tolist(), r):
+            cand.append((float(a[list(bits)].sum()),
+                         int(sum(1 << int(b) for b in bits))))
+    cand.sort(key=lambda t: (t[0], t[1]))
+    return [sig ^ m for _, m in cand[:n_probes]]
+
+
 class _LshBucket:
     def __init__(self, planes_ref):
         self.planes = ray.get(planes_ref)  # (n_planes, d)
@@ -106,29 +131,48 @@ class _LshBucket:
 
 
 def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
-             max_hamming: int = 1, seed: int = 11) -> pd.DataFrame:
+             max_hamming: int = 1, seed: int = 11,
+             probes: int | None = None, max_flips: int = 4,
+             return_stats: bool = False) -> pd.DataFrame:
     """Approximate cosine top-k: random-hyperplane signatures partition the
-    rows into 2^n_planes buckets; each query scans only buckets within
-    *max_hamming* of its own signature (n_planes=8, hamming≤1 ⇒ 9/256 of
-    the data per query in expectation). Exactness on ties is not
-    guaranteed — that is the point; recall rises with probes.
+    rows into 2^n_planes buckets; each query scans only a probe set of
+    buckets. Exactness on ties is not guaranteed — that is the point;
+    recall rises with probes.
+
+    Probe selection: with ``probes=T`` set, QUERY-DIRECTED multi-probe —
+    the T buckets cheapest to reach by flipping the query's
+    smallest-margin planes (see :func:`directed_probes`); measured on the
+    driver corpus this reaches the same recall as a hamming ball while
+    scanning fewer rows, and on clustered embeddings recall ≥0.9 at
+    ≤10% of rows probed (test_lsh_topk_directed_clustered). With
+    ``probes=None``, the legacy blind ball: all buckets within
+    *max_hamming* of the query signature.
 
     Scale shape: the DATASET is never materialized — rows shuffle once by
     bucket (``groupby("bucket")``), each bucket group scores only the
     queries probing it (the tiny bucket→queries probe map and the
     normalized query matrix are ``ray.put`` broadcast), emitting local
-    per-query top-k partials. Only ≤ n_q × (n_planes+1) × k slim rows
-    reach the driver for the final top-k reduce."""
+    per-query top-k partials. Only ≤ n_q × probes × k slim rows reach
+    the driver for the final top-k reduce.
+
+    ``return_stats=True`` returns ``(result, stats)`` where stats holds
+    ``probed_fraction`` — scored rows / dataset rows (mean over queries)
+    — the honesty metric for how approximate the run actually was."""
     d = np.asarray(queries).shape[1]
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_planes, d))
     planes_ref = ray.put(planes)
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
-    q_sig = ((q @ planes.T) > 0).dot(1 << np.arange(n_planes, dtype=np.uint64))
+    q_marg = q @ planes.T
+    q_sig = (q_marg > 0).dot(1 << np.arange(n_planes, dtype=np.uint64))
     probe_map: dict[int, list[int]] = {}
     for qi, sig in enumerate(int(s) for s in q_sig):
-        for s_ in probe_signatures(sig, n_planes, max_hamming):
+        if probes is not None:
+            sigs = directed_probes(sig, q_marg[qi], probes, max_flips)
+        else:
+            sigs = probe_signatures(sig, n_planes, max_hamming)
+        for s_ in sigs:
             probe_map.setdefault(s_, []).append(qi)
     probe_ref = ray.put((probe_map, q))
 
@@ -139,11 +183,14 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
 
     empty = pd.DataFrame({"q": pd.Series([], dtype="int64"),
                           "vec_id": pd.Series([], dtype="int64"),
-                          "sim": pd.Series([], dtype="float64")})
+                          "sim": pd.Series([], dtype="float64"),
+                          "bucket": pd.Series([], dtype="uint64"),
+                          "brows": pd.Series([], dtype="int64")})
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pmap, qmat = ray.get(probe_ref)
-        qis = pmap.get(int(g["bucket"].iloc[0]), [])
+        bkt = int(g["bucket"].iloc[0])
+        qis = pmap.get(bkt, [])
         if not qis:
             return empty
         mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
@@ -153,16 +200,18 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         for col, qi in enumerate(qis):
             top = np.argsort(-sims[:, col], kind="stable")[:k]
             frames.append(pd.DataFrame({
-                "q": qi, "vec_id": ids[top], "sim": sims[top, col]}))
+                "q": qi, "vec_id": ids[top], "sim": sims[top, col],
+                "bucket": np.uint64(bkt), "brows": np.int64(len(g))}))
         return pd.concat(frames, ignore_index=True)
 
     partials = (
         bucketed.groupby("bucket")
         .map_groups(score_bucket, batch_format="pandas")
-        .to_pandas()  # ≤ n_q × (n_planes+1) × k rows — the reduced result
+        .to_pandas()  # ≤ n_q × probes × k rows — the reduced result
     )
     if partials.empty:
-        return empty
+        res = empty[["q", "vec_id", "sim"]]
+        return (res, {"probed_fraction": 0.0}) if return_stats else res
     out = (
         partials.sort_values(["q", "sim", "vec_id"],
                              ascending=[True, False, True], kind="stable")
@@ -171,7 +220,19 @@ def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_planes: int = 8,
         .reset_index(drop=True)
     )
     out["sim"] = out["sim"].round(6)
-    return out
+    res = out[["q", "vec_id", "sim"]]
+    if not return_stats:
+        return res
+    # rows scored per query (each probed non-empty bucket counted once),
+    # averaged over queries, over the dataset row count
+    total = max(1, emb_ds.count())
+    per_q = (partials.drop_duplicates(["q", "bucket"])
+             .groupby("q")["brows"].sum())
+    n_q = len(q)
+    stats = {"probed_fraction": float(per_q.sum() / (n_q * total)),
+             "n_planes": n_planes,
+             "probes": probes if probes is not None else -1}
+    return res, stats
 
 
 # ------------------------------------------------------------------- IVF
