@@ -365,8 +365,55 @@ def run_scaling() -> dict:
     return out
 
 
+def run_registry_leg() -> dict:
+    """Budget-mode crawl with the dict host registry vs the Parquet
+    registry (`cfg.host_registry="parquet"` — the 10^8-host scale path:
+    driver memory O(hosts touched per epoch), registry scanned
+    distributedly). Proves the scale backend costs what its docstring
+    claims AND lands byte-identical (url, hop) sets. sf via
+    RAYZENO_REGISTRY_SF (default 0.01 — budget-mode epoch counts scale
+    with pages-per-host, so the headline sf would take ~125 epochs)."""
+    import ray
+
+    from zeno_ray.config import CrawlConfig
+    from zeno_ray.corpus import CorpusSpec
+    from zeno_ray.crawl import run_crawl
+
+    sf = float(os.environ.get("RAYZENO_REGISTRY_SF", "0.01"))
+    ncpus = _ncpus()
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR")
+    spec = CorpusSpec.for_sf(sf)
+    out: dict = {"metric": "budget-mode crawl: dict vs parquet host registry",
+                 "unit": "sec", "sf": sf, "num_cpus": ncpus}
+    results = {}
+    for backend in ("mem", "parquet"):
+        cfg = CrawlConfig(max_hops=6, max_epochs=64, host_budget=8,
+                          seen_shards=8, fetch_concurrency=max(4, ncpus // 2),
+                          fetch_batch_size=64 * ncpus,
+                          extract_batch_size=32 * ncpus,
+                          host_registry=backend)
+        ckpt = f"/tmp/rayzeno_bench/reg_{backend}_sf{sf:g}"
+        t0 = time.perf_counter()
+        res = run_crawl(spec, cfg, ckpt)
+        sec = time.perf_counter() - t0
+        pdf = res.pages_dataset().to_pandas()[["url", "hop"]]
+        results[backend] = set(map(tuple, pdf.itertuples(index=False)))
+        out[backend] = {"sec": round(sec, 3), "epochs": res.epochs,
+                        "pages": res.pages_fetched}
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
+    out["parity"] = results["mem"] == results["parquet"]
+    out["overhead_x"] = round(out["parquet"]["sec"] / out["mem"]["sec"], 3)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--registry" in sys.argv:
+        print(json.dumps(run_registry_leg()))
     else:
         print(json.dumps(run_bench()))

@@ -385,7 +385,8 @@ def run_crawl(
 
             # ---- rank/budget (budget throttles page fetches; assets exempt) ----
             t_phase = time.perf_counter()
-            fetch_slice, carry = rank_frontier(frontier, cfg.host_budget)
+            fetch_slice, carry = rank_frontier(frontier, cfg.host_budget,
+                                               n_rows=n_frontier)
 
             # ---- the epoch pipeline: ONE streaming execution ----
             pdir = _epoch_dir(ckpt_dir, "pages", k)
@@ -451,7 +452,19 @@ def run_crawl(
                 next_rows = candidates_to_frontier_rows(nxt, epoch=k)
                 if carry is not None:
                     next_rows = next_rows.union(carry)
-                next_rows = _cast_frontier(next_rows).materialize()
+                # union ADDS block counts and groupby/filter PRESERVE them,
+                # so the carry→rank→carry loop would otherwise double the
+                # frontier's block count every epoch — each downstream
+                # stage pays a task per block, and budget-mode epoch walls
+                # measured 2.8 s → 112 s while rows SHRANK 4244 → 308.
+                # Bound blocks before materializing (the same
+                # union-doubles-blocks lesson ops/graph.py records).
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                nb = max(2, min(ncpu * 2,
+                                n_frontier // max(1, cfg.fetch_batch_size)
+                                + 1))
+                next_rows = (_cast_frontier(next_rows).repartition(nb)
+                             .materialize())
             n_next = next_rows.count()
             n_hq_produced = 0
             if cfg.hq_produce and cfg.hq_feed_dir:
@@ -465,7 +478,9 @@ def run_crawl(
                 next_rows = rd.from_arrow(
                     FRONTIER_SCHEMA.empty_table()).materialize()
                 n_next = 0
-            frontier_mem = next_rows
+            # rebase BEFORE carrying across the epoch boundary — the
+            # commit thread still reads next_rows' blocks (same refs)
+            frontier_mem = _rebase(next_rows)
             t_frontier = time.perf_counter() - t_phase
 
             # ---- synchronous state snapshot (cheap), async durable commit ----
@@ -675,6 +690,18 @@ def _compact_checkpoint(ckpt_dir: str, target_bytes: int) -> None:
         mpath = os.path.join(ckpt_dir, name, _COMPACT_MANIFEST)
         if os.path.exists(mpath):
             os.remove(mpath)
+
+
+def _rebase(ds):
+    """Cut a materialized Dataset's logical plan. ``materialize()``
+    executes but KEEPS the full upstream plan, so a loop-carried Dataset
+    (the frontier: epoch k+1 builds on epoch k's output) accumulates one
+    ever-longer plan that Ray re-optimizes on every downstream execution
+    — measured on budget-mode crawls as ~2× epoch-wall growth per epoch
+    (2.8 s → 112 s while frontier rows SHRANK 4244 → 308; per-dataset
+    operator counts in ds.stats() grew ~3/epoch). Rebuilding from the
+    materialized block refs is zero-copy and resets the plan to a leaf."""
+    return rd.from_arrow_refs(ds.to_arrow_refs())
 
 
 def _commit_epoch(ckpt_dir, k, next_rows, seen_dumps, hosts_snapshot, m,

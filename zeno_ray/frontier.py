@@ -48,13 +48,22 @@ FRONTIER_SCHEMA = pa.schema(
 ORDER_RANK_SHIFT = np.int64(1) << np.int64(31)
 
 
-def _rank_n_parts() -> int:
+def _rank_n_parts(n_rows: int | None = None) -> int:
     """Coarse shuffle-partition count for the budget-mode rank shuffle —
-    a few parts per core, independent of host cardinality."""
+    a few parts per core, independent of host cardinality, DOWNSHIFTED
+    when the frontier is small: every part is a task in every downstream
+    stage (the shuffle output's block count feeds fetch/extract), so a
+    775-row late-budget epoch on 256 fixed parts pays ~500 task launches
+    per epoch for microseconds of compute (measured: budget-mode epochs
+    grew 6 s → 51 s; the same fixed-overhead trap ops/graph.py documents
+    for PageRank)."""
     import ray as _ray
 
-    return max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
+    coarse = max(64, int(_ray.cluster_resources().get("CPU", 8)) * 8) \
         if _ray.is_initialized() else 64
+    if n_rows is None:
+        return coarse
+    return int(np.clip(n_rows // 20000 + 4, 4, coarse))
 
 
 def seed_frontier(seed_urls: list[str]) -> tuple[pa.Table, dict[str, int]]:
@@ -87,7 +96,7 @@ def seed_frontier(seed_urls: list[str]) -> tuple[pa.Table, dict[str, int]]:
     return table, hosts
 
 
-def rank_frontier(frontier_ds, budget: int):
+def rank_frontier(frontier_ds, budget: int, n_rows: int | None = None):
     """Assign per-host FIFO rank; split into (fetch_slice, carryover).
 
     fetch_slice rows gain ``order`` (the global deterministic fetch order
@@ -113,9 +122,10 @@ def rank_frontier(frontier_ds, budget: int):
 
     # Coarse-partition shuffle, NOT a raw groupby(host): at 10^8 hosts a
     # per-host map_groups pays Python dispatch per tiny group. Instead all
-    # rows of a host land in one of ~8×CPU parts (part = f(host) % n) and
-    # ONE vectorized kernel ranks every host in the part at once.
-    n_parts = _rank_n_parts()
+    # rows of a host land in one of ~8×CPU parts (part = f(host) % n,
+    # data-adaptively downshifted for small frontiers) and ONE vectorized
+    # kernel ranks every host in the part at once.
+    n_parts = _rank_n_parts(n_rows)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -295,11 +305,11 @@ class ParquetHostRegistry:
         self._append(list(hosts.keys()), list(hosts.values()), 0, "seed")
 
     @staticmethod
-    def _part_of(host_series: pd.Series) -> np.ndarray:
+    def _part_of(host_series: pd.Series, n_parts: int) -> np.ndarray:
         # deterministic coarse partition key; only within-run consistency
         # between the two join sides is needed
         return (pd.util.hash_array(host_series.to_numpy(object))
-                % ParquetHostRegistry.N_PARTS).astype(np.int64)
+                % np.uint64(n_parts)).astype(np.int64)
 
     def assign(self, cand_ds, epoch: int):
         """Register new hosts and attach ``host_seq`` to every candidate
@@ -307,6 +317,19 @@ class ParquetHostRegistry:
         import ray
         import ray.data as rd
         from ray.data.aggregate import Min
+
+        # data-adaptive semi-join width: the join pays ~2 shuffles of
+        # fixed per-part scheduling cost each epoch, so a small epoch on
+        # the full 64 parts is pure overhead (same downshift discipline
+        # as rank_frontier / ops/graph.py); the candidate row count is a
+        # cheap metadata read (the caller materialized it) and an upper
+        # bound on hosts touched
+        try:
+            n_cand = cand_ds.count()
+        except Exception:
+            n_cand = None
+        n_parts = (self.N_PARTS if n_cand is None else
+                   int(np.clip(n_cand // 20000 + 4, 4, self.N_PARTS)))
 
         agg = (
             cand_ds.groupby("host")
@@ -317,7 +340,7 @@ class ParquetHostRegistry:
         def tag_cand(df: pd.DataFrame) -> pd.DataFrame:
             out = df[["host", "mo", "mp"]].copy()
             out["host_seq"] = np.int64(-1)
-            out["part"] = self._part_of(out["host"])
+            out["part"] = self._part_of(out["host"], n_parts)
             return out
 
         sides = agg.map_batches(tag_cand, batch_format="pandas")
@@ -328,7 +351,7 @@ class ParquetHostRegistry:
                 df = t.to_pandas()
                 df["mo"] = np.int64(-1)
                 df["mp"] = np.int64(-1)
-                df["part"] = self._part_of(df["host"])
+                df["part"] = self._part_of(df["host"], n_parts)
                 return df[["host", "mo", "mp", "host_seq", "part"]]
 
             reg = rd.read_parquet(files).map_batches(
