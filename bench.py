@@ -410,10 +410,138 @@ def run_registry_leg() -> dict:
     return out
 
 
+def run_bigsf() -> dict:
+    """Heavy-operator battery at 10-160x the driver-table scale, on
+    deterministic synthetic tables (zeno_ray.bigsf — natural-diversity
+    documents with injected exact/near duplicates, clustered embeddings,
+    a 30-day event stream). Each op runs at scale S and 4S; the reported
+    `linearity` is t(4S) / (4 * t(S)) — 1.0 = perfectly linear, <1 =
+    sublinear (fixed overhead amortizing), >1 = superlinear shuffle /
+    memory-pressure growth. This is the 128-GiB ceiling audit for the
+    ops the sf0.1 driver bench can't stress (VERDICT r3 item 6).
+
+    Env knobs: RAYZENO_BIGSF_DOCS / _VECS / _EVENTS (1x level; default
+    50k docs ≙ a hypothetical testdata sf1.0), RAYZENO_BIGSF_CRAWL_SF
+    (default 0.3; 0 skips the crawl leg)."""
+    import ray
+
+    ncpus = _ncpus()
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from zeno_ray.bigsf import ensure_bigsf
+    from zeno_ray.crawl import warm_cluster
+    from zeno_ray.ops.dedup import (embedding_nn_lsh, exact_dedup,
+                                    minhash_dedup, ngram_jaccard_dedup,
+                                    simhash_groups)
+    from zeno_ray.ops.pack import pack_chunks, pack_plan
+    from zeno_ray.ops.relational import (asof_join_events, events_funnel,
+                                         value_quantiles)
+    from zeno_ray.ops.sketch import hll_distinct
+    from zeno_ray.ops.text import top_tokens
+
+    warm_cluster(ncpus)
+
+    d1 = int(os.environ.get("RAYZENO_BIGSF_DOCS", "50000"))
+    e1 = int(os.environ.get("RAYZENO_BIGSF_VECS", "20000"))
+    v1 = int(os.environ.get("RAYZENO_BIGSF_EVENTS", "2000000"))
+
+    out: dict = {
+        "metric": "bigsf heavy-op battery (S and 4S scales, linearity = "
+                  "t4/(4*t1))",
+        "unit": "sec", "num_cpus": ncpus, "levels": {},
+    }
+
+    for tag, mult in (("1x", 1), ("4x", 4)):
+        sf_dir = ensure_bigsf(d1 * mult, e1 * mult, v1 * mult)
+        docs = os.path.join(sf_dir, "documents.parquet")
+        embs = os.path.join(sf_dir, "embeddings.parquet")
+        evts = os.path.join(sf_dir, "events.parquet")
+        q: dict[str, float] = {}
+
+        def timed(name: str, fn) -> None:
+            t0 = time.perf_counter()
+            fn()
+            q[name] = round(time.perf_counter() - t0, 3)
+
+        timed("doc_dedup_exact", lambda: exact_dedup(
+            rd.read_parquet(docs, columns=["doc_id", "text"])).count())
+        timed("dedup_minhash", lambda: minhash_dedup(
+            rd.read_parquet(docs, columns=["doc_id", "text"])).count())
+        timed("dedup_simhash", lambda: simhash_groups(
+            rd.read_parquet(docs, columns=["doc_id", "text"])).count())
+        timed("dedup_ngram", lambda: ngram_jaccard_dedup(
+            rd.read_parquet(docs, columns=["doc_id", "text"])).count())
+        timed("doc_top_tokens", lambda: top_tokens(
+            rd.read_parquet(docs, columns=["text"]), k=100).count())
+        timed("doc_pack_plan", lambda: pack_plan(
+            rd.read_parquet(docs, columns=["doc_id", "text"]),
+            context_len=2048).count())
+        timed("doc_pack_chunks", lambda: pack_chunks(
+            rd.read_parquet(docs, columns=["doc_id", "text"]),
+            context_len=2048).count())
+        timed("embedding_nn_lsh", lambda: embedding_nn_lsh(
+            rd.read_parquet(embs), threshold=0.0, n_planes=6,
+            max_hamming=2).count())
+        timed("events_distinct_hll", lambda: hll_distinct(
+            rd.read_parquet(evts, columns=["event_type", "user_id"]),
+            "event_type", "user_id").count())
+        timed("events_asof", lambda: asof_join_events(sf_dir))
+        timed("events_funnel", lambda: events_funnel(sf_dir))
+        timed("events_quantiles", lambda: value_quantiles(sf_dir))
+
+        out["levels"][tag] = {
+            "n_docs": d1 * mult, "n_vecs": e1 * mult, "n_events": v1 * mult,
+            "queries": q,
+        }
+
+    q1 = out["levels"]["1x"]["queries"]
+    q4 = out["levels"]["4x"]["queries"]
+    out["linearity"] = {k: round(q4[k] / (4 * q1[k]), 3)
+                        for k in q1 if q1[k] > 0}
+
+    crawl_sf = float(os.environ.get("RAYZENO_BIGSF_CRAWL_SF", "0.3"))
+    if crawl_sf > 0:
+        from zeno_ray.config import CrawlConfig
+        from zeno_ray.corpus import CorpusSpec, corpus_dir_for_sf, ensure_corpus
+        from zeno_ray.crawl import run_crawl
+
+        spec = CorpusSpec.for_sf(crawl_sf)
+        ensure_corpus(spec, corpus_dir_for_sf(crawl_sf))  # untimed build
+        cfg = CrawlConfig(
+            max_hops=6, max_epochs=32, seen_shards=min(16, max(4, ncpus // 2)),
+            fetch_concurrency=max(4, ncpus // 2),
+            fetch_batch_size=64 * ncpus, extract_batch_size=32 * ncpus,
+            pages_target_part_bytes=128 * 1024 * 1024,
+        )
+        ckpt = f"/tmp/rayzeno_bench/crawl_sf{crawl_sf:g}_c{ncpus}"
+        t0 = time.perf_counter()
+        res = run_crawl(spec, cfg, ckpt)
+        sec = time.perf_counter() - t0
+        out["crawl"] = {
+            "sf": crawl_sf, "sec": round(sec, 3), "pages": res.pages_fetched,
+            "epochs": res.epochs,
+            "pages_per_sec": round(res.pages_fetched / sec, 1),
+        }
+        import shutil as _sh
+
+        _sh.rmtree(ckpt, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--registry" in sys.argv:
         print(json.dumps(run_registry_leg()))
+    elif "--bigsf" in sys.argv:
+        print(json.dumps(run_bigsf()))
     else:
         print(json.dumps(run_bench()))

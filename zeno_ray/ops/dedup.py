@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -224,6 +225,10 @@ def minhash_lsh_bands(sig_df: pd.DataFrame, n_bands: int = 16) -> pd.DataFrame:
     })
 
 
+_PAIR_SIZED_EMPTY = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                  "b": pd.Series([], dtype="int64"),
+                                  "sa": pd.Series([], dtype="int64"),
+                                  "sb": pd.Series([], dtype="int64")})
 _PAIR_EMPTY = pd.DataFrame({"a": pd.Series([], dtype="int64"),
                             "b": pd.Series([], dtype="int64")})
 
@@ -681,21 +686,79 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
     # diverse corpora produce few candidates per pair in the first place).
     mean_size = grams.mean("size") or 0.0
     mean_plen = (1.0 - threshold) * mean_size + 1.0
-    responsibility = mean_plen <= 128.0
+
+    # Sampled gram-frequency table (one driver-side pass over the first
+    # few materialized blocks). Two uses: (a) the mode decision below —
+    # mean presence fraction (mean sampled df / sample size) separates
+    # the template regime (testdata docs: ~0.10, every gram in 10% of
+    # docs) from natural-diversity corpora (~0.01) far more reliably
+    # than prefix length alone; (b) in legacy mode, prefixes are taken
+    # under ASCENDING-df order (Bayardo et al. 2007's canonical AllPairs
+    # ordering, ties by hash) instead of raw hash order — on Zipfian
+    # corpora hash order samples hot shingles into ~90% of prefix slots
+    # and their df² posting buckets dominate the join (measured: 20k
+    # natural-diversity docs went from >340 s to seconds). Any GLOBAL
+    # total order preserves candidate completeness, so the sampled
+    # (approximate) df is exactness-safe.
+    sample_pdf = grams.limit(4096).to_pandas()
+    n_sample = max(1, len(sample_pdf))
+    if len(sample_pdf):
+        _su, _sc = np.unique(np.concatenate(list(sample_pdf["grams"])),
+                             return_counts=True)
+    else:
+        _su = np.zeros(0, dtype=np.uint64)
+        _sc = np.zeros(0, dtype=np.int64)
+    presence = float(_sc.mean() / n_sample) if len(_su) else 0.0
+    responsibility = mean_plen <= 128.0 and presence >= 0.05
+
+    if responsibility:
+        order_ref = None
+    else:
+        import ray as _ray
+
+        order_ref = _ray.put((_su.astype(np.uint64), _sc.astype(np.int64)))
 
     def prefix_explode(df: pd.DataFrame) -> pd.DataFrame:
         sizes = df["size"].to_numpy()
         plens = sizes - np.ceil(threshold * sizes).astype(np.int64) + 1
         plens = np.minimum(np.maximum(plens, 1), sizes)
-        prefixes = [g[:p] for g, p in zip(df["grams"], plens)]
-        gr = np.concatenate(prefixes) \
-            if len(df) else np.zeros(0, dtype=np.uint64)
+        if order_ref is not None and len(df):
+            # legacy mode: prefix = the plen grams RAREST under the
+            # broadcast sampled-df order (ties by hash), batch-vectorized
+            import ray as _ray
+
+            su_, sc_ = _ray.get(order_ref)
+            flat = np.concatenate(list(df["grams"]))
+            if len(su_):
+                pos = np.minimum(np.searchsorted(su_, flat), len(su_) - 1)
+                cnt = np.where(su_[pos] == flat, sc_[pos], 0)
+            else:
+                cnt = np.zeros(len(flat), dtype=np.int64)
+            did = np.repeat(np.arange(len(df)), sizes)
+            flat = flat[np.lexsort((flat, cnt, did))]
+            offs = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+            cum = np.concatenate([[0], np.cumsum(plens)])
+            pos = (np.arange(int(cum[-1]))
+                   - np.repeat(cum[:-1], plens)).astype(np.int32)
+            take = np.repeat(offs, plens) + pos
+            gr = flat[take]
+        else:
+            prefixes = [g[:p] for g, p in zip(df["grams"], plens)]
+            gr = np.concatenate(prefixes) \
+                if len(df) else np.zeros(0, dtype=np.uint64)
+            pos = None
         out = {
             "gram": gr,
             "doc_id": np.repeat(df["doc_id"].to_numpy(), plens),
             "size": np.repeat(sizes, plens),
             "part": (gr % np.uint64(n_parts)).astype("int64"),
         }
+        if not responsibility:
+            # within-doc rank of the gram under the global df order —
+            # feeds the PPJoin positional upper bound in the legacy
+            # candidate kernel (Xiao et al. 2008)
+            out["pos"] = pos if pos is not None else \
+                np.zeros(len(gr), dtype=np.int32)
         if responsibility:
             # every posting row carries its doc's FULL (sorted) prefix
             # array — the price of the min-gram responsibility check that
@@ -769,29 +832,61 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
 
     def pairs_in_part_legacy(g: pd.DataFrame) -> pd.DataFrame:
         # natural-corpus mode: no shipped prefixes — emit per shared gram
-        # (duplicates across parts are rare here) and dedupe globally below
-        counts = g.groupby("gram")["doc_id"].transform("size")
-        g = g[counts >= 2]
-        if g.empty:
-            return _PAIR_EMPTY
-        out_a, out_b = [], []
-        for _, gg in g.groupby("gram", sort=False):
-            ids = gg["doc_id"].to_numpy()
-            sz = gg["size"].to_numpy()
-            o = np.argsort(ids, kind="stable")
-            ids, sz = ids[o], sz[o]
-            for lo in range(0, len(ids), 2048):
-                ia = ids[lo:lo + 2048][:, None]
-                sa_ = sz[lo:lo + 2048][:, None]
-                m = (ia < ids[None, :]) & (
-                    np.minimum(sa_, sz[None, :])
-                    >= threshold * np.maximum(sa_, sz[None, :]))
-                out_a.append(np.broadcast_to(ia, m.shape)[m])
-                out_b.append(np.broadcast_to(ids[None, :], m.shape)[m])
-        if not out_a:
-            return _PAIR_EMPTY
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b)}).drop_duplicates()
+        # (duplicates across parts are rare here) and dedupe globally below.
+        # Exactness-safe pruning: besides the length filter, the PPJoin
+        # positional bound (Xiao et al. 2008) — a pair sharing gram at
+        # within-doc df-order ranks (i, j) satisfies |A∩B| ≤ 1 +
+        # min(|A|-i-1, |B|-j-1), and J ≥ t needs |A∩B| ≥ ceil(t/(1+t) ·
+        # (|A|+|B|)). Any candidate pair's FIRST shared gram under the
+        # global order lies in both prefixes (earlier grams sort earlier
+        # in both), where this bound is exact — so a pair pruned at every
+        # emission is genuinely sub-threshold, while common (late-rank)
+        # grams' fat posting lists stop emitting pairs at all.
+        # One numpy pass, no per-gram Python dispatch (a natural-corpus
+        # part holds 10^5+ tiny posting groups — a pandas groupby loop
+        # here cost 150 of 215 s at 20k docs): lexsort postings by
+        # (gram, doc_id), derive run boundaries, then enumerate each
+        # group's C(c,2) ordered pairs straight from the flat pair-index
+        # space via searchsorted — chunked, so a hot gram that slipped
+        # past the sampled-df order can't blow the working set.
+        gr = g["gram"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sz = g["size"].to_numpy()
+        ps = g["pos"].to_numpy()
+        o = np.lexsort((ids, gr))
+        gr, ids, sz, ps = gr[o], ids[o], sz[o], ps[o]
+        rem = sz - ps  # 1 + (size - pos - 1)
+        new = np.concatenate([[True], gr[1:] != gr[:-1]])
+        starts = np.nonzero(new)[0]
+        cnt = np.diff(np.concatenate([starts, [len(gr)]]))
+        grp_start = np.repeat(starts, cnt)
+        li = np.arange(len(gr)) - grp_start  # local index within group
+        cum = np.concatenate([[0], np.cumsum(li)])
+        total = int(cum[-1])
+        if total == 0:
+            return _PAIR_SIZED_EMPTY
+        t_ratio = threshold / (1.0 + threshold)
+        out_a = []
+        for plo in range(0, total, 1 << 24):
+            idx = np.arange(plo, min(total, plo + (1 << 24)))
+            brow = np.searchsorted(cum, idx, side="right") - 1
+            arow = grp_start[brow] + (idx - cum[brow])
+            sa_, sb_ = sz[arow], sz[brow]
+            m = (ids[arow] != ids[brow]) & (
+                np.minimum(sa_, sb_) >= threshold * np.maximum(sa_, sb_))
+            m &= (np.minimum(rem[arow], rem[brow])
+                  >= np.ceil(t_ratio * (sa_ + sb_)))
+            # within a gram group rows are doc_id-ascending and a doc
+            # appears at most once, so ids[arow] < ids[brow] holds
+            out_a.append(np.stack([ids[arow[m]], ids[brow[m]],
+                                   sa_[m], sb_[m]], axis=1))
+        stacked = np.concatenate(out_a)
+        if not len(stacked):
+            return _PAIR_SIZED_EMPTY
+        return pd.DataFrame({
+            "a": stacked[:, 0], "b": stacked[:, 1],
+            "sa": stacked[:, 2], "sb": stacked[:, 3],
+        }).drop_duplicates(["a", "b"])
 
     if responsibility:
         pairs = (
@@ -804,6 +899,7 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             return pd.DataFrame({
                 "part": (df["a"].to_numpy() % n_parts).astype("int64"),
                 "a": df["a"], "b": df["b"],
+                "sa": df["sa"], "sb": df["sb"],
             })
 
         pairs = (
@@ -815,6 +911,15 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             .map_groups(lambda g: g.drop_duplicates(["a", "b"]),
                         batch_format="pandas")
         )
+
+    if os.environ.get("RAYZENO_NGRAM_PHASES"):
+        import time as _time
+
+        _t = _time.perf_counter()
+        pairs = pairs.materialize()
+        print(f"[ngram] mode={'resp' if responsibility else 'legacy'} "
+              f"candidate_pairs={pairs.count()} "
+              f"pair_phase={_time.perf_counter() - _t:.1f}s", flush=True)
 
     # ---- block-grid verify join ----
     # A per-pair set attachment ships each doc's gram set once PER PAIR —
@@ -934,14 +1039,296 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             outs.append(pd.DataFrame({"a": ca[ok], "b": cb[ok]}))
         return pd.concat(outs, ignore_index=True) if outs else _PAIR_EMPTY
 
+    if responsibility:
+        edges = (
+            pairs.map_batches(pair_blocks, batch_format="pandas")
+            .union(grams.map_batches(set_blocks, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(verify_block, batch_format="pandas")
+            .to_pandas()  # VERIFIED edges only
+            .drop_duplicates()
+        )
+        return attach_cluster_labels(grams.select_columns(["doc_id"]), edges)
+
+    # ---- legacy-mode verify: gram-space-split exact intersection ----
+    # Natural corpora: few candidate pairs per doc, but each doc's gram
+    # set is BIG (~10^3 uint64s) — any verify that co-locates whole sets
+    # per pair ships pairs × set_bytes (measured 3.4 GB for 470 k pairs
+    # at 20 k docs; 130 of 137 s). Instead, split the GRAM SPACE into Q
+    # hash-parts: every gram row travels exactly once (skinny fixed-width
+    # columns, never a fat binary payload), each pair is replicated to
+    # all Q parts (32-byte rows), partial |A∩B| is computed per part with
+    # the run-boundary lexsort kernel, and a final skinny groupby sums
+    # partials and applies the threshold. Traffic: O(corpus grams +
+    # Q·pairs) — independent of set size per pair. Docs in no candidate
+    # pair are dropped before the shuffle via a broadcast id set (pairs
+    # are already driver-bounded: the op ends in a driver union-find).
+    import ray as _ray
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return attach_cluster_labels(grams.select_columns(["doc_id"]),
+                                     _PAIR_EMPTY)
+
+    # ---- histogram pre-verify (exact upper bound) ----
+    # Surviving false candidates share a rare gram but only ~20-40 % of
+    # their sets overall, while J ≥ t needs ~α = t/(1+t)·(|A|+|B|) shared
+    # grams — a big gap. Each doc ships a 1 KiB 1024-bucket uint8 gram
+    # histogram; Σ_j min(hA[j], hB[j]) ≥ |A∩B| EXACTLY (every shared
+    # gram increments the same bucket on both sides), so pruning pairs
+    # with bound < α is exactness-safe, and the bound separates cleanly
+    # (false ≈ shared + small collision noise ≪ α). Histograms ride the
+    # P×P block grid (1 KiB × 2P per doc — 7× cheaper than one full-set
+    # grid pass), leaving ~10^0-10^1 survivors per true dup for the
+    # full-set verify below. Measured at 20 k diverse docs: 472 k
+    # candidates → ~10^3 survivors; verify phase 156 s → seconds.
+    def _docs_ref(pdf: pd.DataFrame):
+        return _ray.put(np.unique(
+            np.concatenate([pdf["a"].to_numpy(np.int64),
+                            pdf["b"].to_numpy(np.int64)])))
+
+    if n_pairs > 20_000:
+        cand_docs_ref = _docs_ref(pairs.to_pandas())
+        t_ratio_pv = threshold / (1.0 + threshold)
+        _H_EMPTY = pd.DataFrame({
+            "part": pd.Series([], dtype=np.int64),
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "sa": pd.Series([], dtype=np.int64),
+            "sb": pd.Series([], dtype=np.int64),
+            "role": pd.Series([], dtype=np.int8),
+            "key": pd.Series([], dtype=np.int64),
+            "g": pd.Series([], dtype=object),
+        })
+
+        def pair_hblocks(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["a"].to_numpy(np.int64)
+            b = df["b"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "part": (a % P) * P + (b % P), "a": a, "b": b,
+                "sa": df["sa"].to_numpy(np.int64),
+                "sb": df["sb"].to_numpy(np.int64),
+                "role": np.int8(0), "key": np.int64(-1),
+                "g": [b""] * len(df),
+            })
+
+        def hist_hblocks(df: pd.DataFrame) -> pd.DataFrame:
+            keep = np.isin(df["doc_id"].to_numpy(np.int64),
+                           _ray.get(cand_docs_ref))
+            df = df[keep]
+            d = df["doc_id"].to_numpy(np.int64)
+            n = len(df)
+            if not n:
+                return _H_EMPTY
+            hs = []
+            for v in df["grams"]:
+                h = np.bincount(
+                    ((v >> np.uint64(20)) & np.uint64(1023)).astype(
+                        np.int64), minlength=1024)
+                hs.append(np.minimum(h, 255).astype(np.uint8).tobytes())
+            j = np.arange(P, dtype=np.int64)
+            part_a = ((d % P)[:, None] * P + j[None, :]).ravel()
+            part_b = (j[None, :] * P + (d % P)[:, None]).ravel()
+            keys = np.repeat(d, P)
+            h_rep = list(np.repeat(np.array(hs, dtype=object), P))
+            return pd.DataFrame({
+                "part": np.concatenate([part_a, part_b]),
+                "a": np.int64(-1), "b": np.int64(-1),
+                "sa": np.int64(0), "sb": np.int64(0),
+                "role": np.repeat(np.array([1, 2], dtype=np.int8), n * P),
+                "key": np.concatenate([keys, keys]),
+                "g": h_rep + h_rep,
+            })
+
+        def bound_block(g: pd.DataFrame) -> pd.DataFrame:
+            role = g["role"].to_numpy()
+            prs = g[role == 0]
+            if prs.empty:
+                return _PAIR_SIZED_EMPTY
+            ha = dict(zip(g["key"].to_numpy()[role == 1], g["g"][role == 1]))
+            hb = dict(zip(g["key"].to_numpy()[role == 2], g["g"][role == 2]))
+            pa_ = prs["a"].to_numpy(np.int64)
+            pb_ = prs["b"].to_numpy(np.int64)
+            sa_ = prs["sa"].to_numpy(np.int64)
+            sb_ = prs["sb"].to_numpy(np.int64)
+            outs = []
+            ch = 1 << 15
+            for lo in range(0, len(pa_), ch):
+                hi = min(len(pa_), lo + ch)
+                HA = np.frombuffer(
+                    b"".join(ha[int(d)] for d in pa_[lo:hi]),
+                    dtype=np.uint8).reshape(hi - lo, 1024)
+                HB = np.frombuffer(
+                    b"".join(hb[int(d)] for d in pb_[lo:hi]),
+                    dtype=np.uint8).reshape(hi - lo, 1024)
+                bound = np.minimum(HA, HB).sum(axis=1, dtype=np.int64)
+                ok = bound >= np.ceil(
+                    t_ratio_pv * (sa_[lo:hi] + sb_[lo:hi]))
+                outs.append(pd.DataFrame({
+                    "a": pa_[lo:hi][ok], "b": pb_[lo:hi][ok],
+                    "sa": sa_[lo:hi][ok], "sb": sb_[lo:hi][ok]}))
+            return pd.concat(outs, ignore_index=True) \
+                if outs else _PAIR_SIZED_EMPTY
+
+        pairs = (
+            pairs.map_batches(pair_hblocks, batch_format="pandas")
+            .union(grams.map_batches(hist_hblocks, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(bound_block, batch_format="pandas")
+        ).materialize()
+        n_pairs = pairs.count()
+        if os.environ.get("RAYZENO_NGRAM_PHASES"):
+            print(f"[ngram] preverify_survivors={n_pairs}", flush=True)
+        if n_pairs == 0:
+            return attach_cluster_labels(grams.select_columns(["doc_id"]),
+                                         _PAIR_EMPTY)
+
+    pair_docs_ref = _docs_ref(pairs.to_pandas())
+    # Q trades corpus-shuffle fan-in (gram rows per part ≈ occ/Q) against
+    # pair replication (n_pairs × Q): balance the two byte streams.
+    occ_est = float(mean_size) * max(1, grams.count())
+    Q = int(np.clip(np.sqrt(occ_est * 24.0 / (n_pairs * 32.0)), 8, 64))
+
+    def pair_qrows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        r8 = lambda c: np.repeat(df[c].to_numpy(np.int64), Q)  # noqa: E731
+        return pd.DataFrame({
+            "qpart": np.tile(np.arange(Q, dtype=np.int64), n),
+            "did": np.full(n * Q, -1, dtype=np.int64),
+            "gram": np.zeros(n * Q, dtype=np.uint64),
+            "a": r8("a"), "b": r8("b"), "sa": r8("sa"), "sb": r8("sb"),
+        })
+
+    def gram_qrows(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ids = _ray.get(pair_docs_ref)
+        dids = df["doc_id"].to_numpy(np.int64)
+        sel = np.isin(dids, keep_ids)
+        df = df[sel]
+        if not len(df):
+            return pd.DataFrame({
+                "qpart": pd.Series([], dtype=np.int64),
+                "did": pd.Series([], dtype=np.int64),
+                "gram": pd.Series([], dtype=np.uint64),
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "sa": pd.Series([], dtype=np.int64),
+                "sb": pd.Series([], dtype=np.int64),
+            })
+        sizes = df["size"].to_numpy()
+        flat = np.concatenate(list(df["grams"]))
+        did = np.repeat(dids[sel], sizes)
+        n = len(flat)
+        return pd.DataFrame({
+            "qpart": (flat % np.uint64(Q)).astype(np.int64),
+            "did": did, "gram": flat,
+            "a": np.full(n, -1, dtype=np.int64),
+            "b": np.full(n, -1, dtype=np.int64),
+            "sa": np.zeros(n, dtype=np.int64),
+            "sb": np.zeros(n, dtype=np.int64),
+        })
+
+    _PARTIAL_EMPTY = pd.DataFrame({
+        "part": pd.Series([], dtype=np.int64),
+        "a": pd.Series([], dtype=np.int64),
+        "b": pd.Series([], dtype=np.int64),
+        "sa": pd.Series([], dtype=np.int64),
+        "sb": pd.Series([], dtype=np.int64),
+        "inter": pd.Series([], dtype=np.int64),
+    })
+
+    def intersect_q(g: pd.DataFrame) -> pd.DataFrame:
+        is_pair = g["did"].to_numpy() < 0
+        prs = g[is_pair]
+        gx = g[~is_pair]
+        if prs.empty or gx.empty:
+            return _PARTIAL_EMPTY
+        did = gx["did"].to_numpy(np.int64)
+        gr = gx["gram"].to_numpy()
+        o = np.lexsort((gr, did))
+        did, gr = did[o], gr[o]
+        uids = did[np.concatenate([[True], did[1:] != did[:-1]])]
+        starts = np.searchsorted(did, uids)
+        ends = np.append(starts[1:], len(did))
+
+        def seg_of(d: np.ndarray):
+            # vectorized (start, length) lookup; docs with no gram in
+            # this qpart resolve to empty segments
+            pos = np.minimum(np.searchsorted(uids, d), len(uids) - 1)
+            hit = uids[pos] == d
+            return (np.where(hit, starts[pos], 0),
+                    np.where(hit, ends[pos] - starts[pos], 0))
+
+        pa_ = prs["a"].to_numpy(np.int64)
+        pb_ = prs["b"].to_numpy(np.int64)
+        sta, la = seg_of(pa_)
+        stb, lb = seg_of(pb_)
+        inter = np.zeros(len(pa_), dtype=np.int64)
+        # chunk so (la+lb).sum() per lexsort stays bounded regardless of
+        # the pair count replicated into this qpart
+        ch = 1 << 15
+        for lo in range(0, len(pa_), ch):
+            hi = min(len(pa_), lo + ch)
+            cla, clb = la[lo:hi], lb[lo:hi]
+            idx = np.arange(hi - lo, dtype=np.int64)
+            cumA = np.concatenate([[0], np.cumsum(cla)])
+            cumB = np.concatenate([[0], np.cumsum(clb)])
+            takeA = (np.repeat(sta[lo:hi], cla)
+                     + np.arange(int(cumA[-1])) - np.repeat(cumA[:-1], cla))
+            takeB = (np.repeat(stb[lo:hi], clb)
+                     + np.arange(int(cumB[-1])) - np.repeat(cumB[:-1], clb))
+            pid = np.concatenate([np.repeat(idx, cla), np.repeat(idx, clb)])
+            gall = np.concatenate([gr[takeA], gr[takeB]])
+            order = np.lexsort((gall, pid))
+            p_s, g_s = pid[order], gall[order]
+            dup = (p_s[1:] == p_s[:-1]) & (g_s[1:] == g_s[:-1])
+            inter[lo:hi] = np.bincount(p_s[1:][dup], minlength=hi - lo)
+        keep = inter > 0
+        if not keep.any():
+            return _PARTIAL_EMPTY
+        return pd.DataFrame({
+            "part": ((pa_[keep] * 2654435761 + pb_[keep]) % n_parts)
+            .astype(np.int64),
+            "a": pa_[keep], "b": pb_[keep],
+            "sa": prs["sa"].to_numpy(np.int64)[keep],
+            "sb": prs["sb"].to_numpy(np.int64)[keep],
+            "inter": inter[keep].astype(np.int64),
+        })
+
+    def sum_verify(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["a", "b"], sort=False).agg(
+            sa=("sa", "first"), sb=("sb", "first"),
+            inter=("inter", "sum")).reset_index()
+        jac = agg["inter"] / np.maximum(agg["sa"] + agg["sb"]
+                                        - agg["inter"], 1)
+        ok = (jac >= threshold).to_numpy()
+        return pd.DataFrame({"a": agg["a"].to_numpy()[ok],
+                             "b": agg["b"].to_numpy()[ok]})
+
+    partials = (
+        pairs.map_batches(pair_qrows, batch_format="pandas")
+        .union(grams.map_batches(gram_qrows, batch_format="pandas"))
+        .groupby("qpart")
+        .map_groups(intersect_q, batch_format="pandas")
+    )
+    if os.environ.get("RAYZENO_NGRAM_PHASES"):
+        import time as _time
+
+        _t = _time.perf_counter()
+        partials = partials.materialize()
+        print(f"[ngram] Q={Q} partial_rows={partials.count()} "
+              f"intersect_phase={_time.perf_counter() - _t:.1f}s",
+              flush=True)
+        _t = _time.perf_counter()
     edges = (
-        pairs.map_batches(pair_blocks, batch_format="pandas")
-        .union(grams.map_batches(set_blocks, batch_format="pandas"))
-        .groupby("part")
-        .map_groups(verify_block, batch_format="pandas")
+        partials.groupby("part")
+        .map_groups(sum_verify, batch_format="pandas")
         .to_pandas()  # VERIFIED edges only
         .drop_duplicates()
     )
+    if os.environ.get("RAYZENO_NGRAM_PHASES"):
+        print(f"[ngram] edges={len(edges)} "
+              f"sum_phase={_time.perf_counter() - _t:.1f}s", flush=True)
     return attach_cluster_labels(grams.select_columns(["doc_id"]), edges)
 
 
