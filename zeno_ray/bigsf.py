@@ -11,9 +11,10 @@ operators at 10-100x the driver benchmark scale. No external data.
 
 Unlike the testdata documents (adversarially template-heavy: a ~40-word
 vocabulary, so near-dup candidate filters barely prune), the documents
-here are NATURAL-DIVERSITY by default: a 4,000-word Zipf vocabulary,
-which is the regime the adaptive `ngram_jaccard_dedup` legacy branch and
-the BASELINE "near-linear pruning on diverse corpora" claim are about.
+here are NATURAL-DIVERSITY: a Heaps'-law-sized Zipf vocabulary of
+full-alphabet words plus an ~8% per-token hapax identifier tail — the
+regime the adaptive `ngram_jaccard_dedup` legacy branch and the BASELINE
+"near-linear pruning on diverse corpora" claim are about.
 Controlled duplicate structure is injected so dedup ops have real work:
 
 - exact duplicates:   doc i copies doc i-1 verbatim when i % 173 == 5
@@ -37,12 +38,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-BIGSF_VERSION = 3
+BIGSF_VERSION = 5
 
 _LANGS = ["en", "de", "fr", "es", "it", "pt", "nl", "ru", "zh", "ja"]
-_SYL_A = ["ba", "co", "de", "fi", "gu", "ha", "ji", "ka", "lo", "me",
-          "nu", "pa", "qi", "ro", "su", "ta", "vo", "wi", "xe", "za"]
-_SYL_B = ["r", "n", "l", "s", "t", "m", "p", "k", "d", "g"]
 
 _DOC_PART_ROWS = 4 * 29 * 173          # 20,068 — lcm-aligned (see above)
 _VEC_PART_ROWS = 50_000
@@ -50,24 +48,30 @@ _EVT_PART_ROWS = 250_000
 
 
 def _vocab(n: int = 30000) -> np.ndarray:
-    """Deterministic synthetic word list: 2-5 syllable words plus numeric
-    tokens (fixed Philox key — independent of the table seed), sized so
-    the character-5-gram space at 50k+ docs is realistically large
-    (millions of distinct shingles, long-tailed df) rather than the
-    template-heavy regime of the testdata documents."""
+    """Deterministic synthetic word list: random 4-12-letter words plus
+    numeric tokens (fixed Philox key — independent of the table seed),
+    sized by the caller per Heaps' law so the character-5-gram space
+    stays realistically large (long-tailed df) at any corpus scale."""
     rng = np.random.Generator(np.random.Philox(key=[1234567, 7654321]))
     n_words = int(n * 0.94)
     words: list[str] = []
     seen = set()
+    # full-alphabet random strings, NOT syllable composites: with a small
+    # syllable inventory every word shares its character k-grams with
+    # hundreds of other words, so gram-level df is ~100x word-level df
+    # and posting lists stay fat no matter how large the word vocabulary
+    # grows (measured: Heaps-scaled 89k-word syllable vocab still gave
+    # 59M candidate pairs at 200k docs). Random letters make a gram's df
+    # track its word's df, which Zipf+Heaps keeps bounded — the property
+    # real orthography has and prefix-filtered joins rely on.
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
     while len(words) < n_words:
         m = n_words - len(words)
-        ns = rng.integers(2, 6, m)
-        parts = rng.integers(0, 20, (m, 5))
-        glue = rng.integers(0, 10, (m, 5))
+        ls = rng.integers(4, 13, m)
+        flat = letters[rng.integers(0, 26, int(ls.sum()))]
+        offs = np.concatenate([[0], np.cumsum(ls)])
         for i in range(m):
-            w = "".join(_SYL_A[parts[i, j]] + (_SYL_B[glue[i, j]]
-                                               if glue[i, j] < 7 else "")
-                        for j in range(ns[i]))
+            w = "".join(flat[offs[i]:offs[i + 1]])
             if w not in seen:
                 seen.add(w)
                 words.append(w)
@@ -202,7 +206,12 @@ def ensure_bigsf(n_docs: int, n_vecs: int, n_events: int, seed: int = 42,
 
     import ray
 
-    vocab = _vocab()
+    # Heaps' law: real-text vocabulary grows ~ k·sqrt(tokens) (k ≈ 20,
+    # β ≈ 0.5). A FIXED vocab under a growing corpus inflates every
+    # word's df linearly — posting lists fatten and ALL similarity-join
+    # candidate counts turn quadratic, which real webtext does not do.
+    n_vocab = int(np.clip(20.0 * np.sqrt(n_docs * 100.0), 30_000, 500_000))
+    vocab = _vocab(n_vocab)
     weights = _zipf_weights(len(vocab))
     vocab_ref = ray.put(vocab)
     weights_ref = ray.put(weights)

@@ -1071,97 +1071,77 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         return attach_cluster_labels(grams.select_columns(["doc_id"]),
                                      _PAIR_EMPTY)
 
-    # ---- histogram pre-verify (exact upper bound) ----
+    # ---- histogram pre-verify (exact upper bound, broadcast) ----
     # Surviving false candidates share a rare gram but only ~20-40 % of
     # their sets overall, while J ≥ t needs ~α = t/(1+t)·(|A|+|B|) shared
-    # grams — a big gap. Each doc ships a 1 KiB 1024-bucket uint8 gram
+    # grams — a big gap. Each doc gets a 1 KiB 1024-bucket uint8 gram
     # histogram; Σ_j min(hA[j], hB[j]) ≥ |A∩B| EXACTLY (every shared
     # gram increments the same bucket on both sides), so pruning pairs
     # with bound < α is exactness-safe, and the bound separates cleanly
-    # (false ≈ shared + small collision noise ≪ α). Histograms ride the
-    # P×P block grid (1 KiB × 2P per doc — 7× cheaper than one full-set
-    # grid pass), leaving ~10^0-10^1 survivors per true dup for the
-    # full-set verify below. Measured at 20 k diverse docs: 472 k
-    # candidates → ~10^3 survivors; verify phase 156 s → seconds.
-    def _docs_ref(pdf: pd.DataFrame):
+    # (false ≈ shared + small collision noise ≪ α). The histogram TABLE
+    # is tiny relative to the pair table (1 KiB × n_docs vs 10^7-10^8
+    # pair rows), so it is built distributed, collected once, and
+    # broadcast (ray.put) — the bound check is then a ZERO-SHUFFLE
+    # map_batches over the pairs where they already live. (A P×P grid
+    # variant that shuffled pairs+histograms together wedged Ray's
+    # backpressure at 48 M pair rows; pagerank's broadcast-vs-shuffle
+    # split is the repo precedent.) Past the broadcast bound (~4 GiB of
+    # histograms ≈ 4 M candidate-docs) the pre-verify is skipped and the
+    # gram-space-split exact verify below carries the full load.
+    # Measured at 20 k diverse docs: 472 k candidates → 812 survivors;
+    # verify phase 156 s → seconds.
+    def _docs_ref(pairs_ds, n: int):
+        # broadcast id-set for the doc semi-join prefilters — an
+        # optimization only, so it is SKIPPED (returns None) when the
+        # candidate table is too big to collect: a driver-side
+        # to_pandas over 10^8 candidate rows pins the driver for
+        # minutes while the cluster idles (observed at 200 k docs)
+        if n > 2_000_000:
+            return None
+        pdf = pairs_ds.to_pandas()
         return _ray.put(np.unique(
             np.concatenate([pdf["a"].to_numpy(np.int64),
                             pdf["b"].to_numpy(np.int64)])))
 
-    if n_pairs > 20_000:
-        cand_docs_ref = _docs_ref(pairs.to_pandas())
+    n_docs_total = grams.count()
+    if n_pairs > 20_000 and n_docs_total * 1024 <= (4 << 30):
         t_ratio_pv = threshold / (1.0 + threshold)
-        _H_EMPTY = pd.DataFrame({
-            "part": pd.Series([], dtype=np.int64),
-            "a": pd.Series([], dtype=np.int64),
-            "b": pd.Series([], dtype=np.int64),
-            "sa": pd.Series([], dtype=np.int64),
-            "sb": pd.Series([], dtype=np.int64),
-            "role": pd.Series([], dtype=np.int8),
-            "key": pd.Series([], dtype=np.int64),
-            "g": pd.Series([], dtype=object),
-        })
 
-        def pair_hblocks(df: pd.DataFrame) -> pd.DataFrame:
-            a = df["a"].to_numpy(np.int64)
-            b = df["b"].to_numpy(np.int64)
-            return pd.DataFrame({
-                "part": (a % P) * P + (b % P), "a": a, "b": b,
-                "sa": df["sa"].to_numpy(np.int64),
-                "sb": df["sb"].to_numpy(np.int64),
-                "role": np.int8(0), "key": np.int64(-1),
-                "g": [b""] * len(df),
-            })
-
-        def hist_hblocks(df: pd.DataFrame) -> pd.DataFrame:
-            keep = np.isin(df["doc_id"].to_numpy(np.int64),
-                           _ray.get(cand_docs_ref))
-            df = df[keep]
-            d = df["doc_id"].to_numpy(np.int64)
-            n = len(df)
-            if not n:
-                return _H_EMPTY
-            hs = []
-            for v in df["grams"]:
+        def hist_rows(df: pd.DataFrame) -> pd.DataFrame:
+            hs = np.empty((len(df), 1024), dtype=np.uint8)
+            for i, v in enumerate(df["grams"]):
                 h = np.bincount(
                     ((v >> np.uint64(20)) & np.uint64(1023)).astype(
                         np.int64), minlength=1024)
-                hs.append(np.minimum(h, 255).astype(np.uint8).tobytes())
-            j = np.arange(P, dtype=np.int64)
-            part_a = ((d % P)[:, None] * P + j[None, :]).ravel()
-            part_b = (j[None, :] * P + (d % P)[:, None]).ravel()
-            keys = np.repeat(d, P)
-            h_rep = list(np.repeat(np.array(hs, dtype=object), P))
+                hs[i] = np.minimum(h, 255)
             return pd.DataFrame({
-                "part": np.concatenate([part_a, part_b]),
-                "a": np.int64(-1), "b": np.int64(-1),
-                "sa": np.int64(0), "sb": np.int64(0),
-                "role": np.repeat(np.array([1, 2], dtype=np.int8), n * P),
-                "key": np.concatenate([keys, keys]),
-                "g": h_rep + h_rep,
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "hist": [row.tobytes() for row in hs],
             })
 
-        def bound_block(g: pd.DataFrame) -> pd.DataFrame:
-            role = g["role"].to_numpy()
-            prs = g[role == 0]
-            if prs.empty:
-                return _PAIR_SIZED_EMPTY
-            ha = dict(zip(g["key"].to_numpy()[role == 1], g["g"][role == 1]))
-            hb = dict(zip(g["key"].to_numpy()[role == 2], g["g"][role == 2]))
-            pa_ = prs["a"].to_numpy(np.int64)
-            pb_ = prs["b"].to_numpy(np.int64)
-            sa_ = prs["sa"].to_numpy(np.int64)
-            sb_ = prs["sb"].to_numpy(np.int64)
+        hist_pdf = grams.map_batches(
+            hist_rows, batch_format="pandas").to_pandas()
+        h_ids = hist_pdf["doc_id"].to_numpy(np.int64)
+        o = np.argsort(h_ids, kind="stable")
+        h_ids = h_ids[o]
+        h_mat = np.frombuffer(
+            b"".join(hist_pdf["hist"].to_numpy()[o]),
+            dtype=np.uint8).reshape(len(h_ids), 1024)
+        hist_ref = _ray.put((h_ids, h_mat))
+        del hist_pdf, h_mat
+
+        def bound_check(df: pd.DataFrame) -> pd.DataFrame:
+            ids_s, mat = _ray.get(hist_ref)  # zero-copy shared memory
+            pa_ = df["a"].to_numpy(np.int64)
+            pb_ = df["b"].to_numpy(np.int64)
+            sa_ = df["sa"].to_numpy(np.int64)
+            sb_ = df["sb"].to_numpy(np.int64)
             outs = []
-            ch = 1 << 15
+            ch = 1 << 14  # bound the m×1024 uint8 gather transient
             for lo in range(0, len(pa_), ch):
                 hi = min(len(pa_), lo + ch)
-                HA = np.frombuffer(
-                    b"".join(ha[int(d)] for d in pa_[lo:hi]),
-                    dtype=np.uint8).reshape(hi - lo, 1024)
-                HB = np.frombuffer(
-                    b"".join(hb[int(d)] for d in pb_[lo:hi]),
-                    dtype=np.uint8).reshape(hi - lo, 1024)
+                HA = mat[np.searchsorted(ids_s, pa_[lo:hi])]
+                HB = mat[np.searchsorted(ids_s, pb_[lo:hi])]
                 bound = np.minimum(HA, HB).sum(axis=1, dtype=np.int64)
                 ok = bound >= np.ceil(
                     t_ratio_pv * (sa_[lo:hi] + sb_[lo:hi]))
@@ -1171,12 +1151,8 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             return pd.concat(outs, ignore_index=True) \
                 if outs else _PAIR_SIZED_EMPTY
 
-        pairs = (
-            pairs.map_batches(pair_hblocks, batch_format="pandas")
-            .union(grams.map_batches(hist_hblocks, batch_format="pandas"))
-            .groupby("part")
-            .map_groups(bound_block, batch_format="pandas")
-        ).materialize()
+        pairs = pairs.map_batches(
+            bound_check, batch_format="pandas").materialize()
         n_pairs = pairs.count()
         if os.environ.get("RAYZENO_NGRAM_PHASES"):
             print(f"[ngram] preverify_survivors={n_pairs}", flush=True)
@@ -1184,10 +1160,10 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             return attach_cluster_labels(grams.select_columns(["doc_id"]),
                                          _PAIR_EMPTY)
 
-    pair_docs_ref = _docs_ref(pairs.to_pandas())
+    pair_docs_ref = _docs_ref(pairs, n_pairs)
     # Q trades corpus-shuffle fan-in (gram rows per part ≈ occ/Q) against
     # pair replication (n_pairs × Q): balance the two byte streams.
-    occ_est = float(mean_size) * max(1, grams.count())
+    occ_est = float(mean_size) * max(1, n_docs_total)
     Q = int(np.clip(np.sqrt(occ_est * 24.0 / (n_pairs * 32.0)), 8, 64))
 
     def pair_qrows(df: pd.DataFrame) -> pd.DataFrame:
@@ -1201,10 +1177,11 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
         })
 
     def gram_qrows(df: pd.DataFrame) -> pd.DataFrame:
-        keep_ids = _ray.get(pair_docs_ref)
         dids = df["doc_id"].to_numpy(np.int64)
-        sel = np.isin(dids, keep_ids)
-        df = df[sel]
+        if pair_docs_ref is not None:
+            sel = np.isin(dids, _ray.get(pair_docs_ref))
+            df = df[sel]
+            dids = dids[sel]
         if not len(df):
             return pd.DataFrame({
                 "qpart": pd.Series([], dtype=np.int64),
@@ -1217,7 +1194,7 @@ def ngram_jaccard_dedup(docs_ds, k: int = 5, threshold: float = 0.8):
             })
         sizes = df["size"].to_numpy()
         flat = np.concatenate(list(df["grams"]))
-        did = np.repeat(dids[sel], sizes)
+        did = np.repeat(dids, sizes)
         n = len(flat)
         return pd.DataFrame({
             "qpart": (flat % np.uint64(Q)).astype(np.int64),
