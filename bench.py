@@ -190,8 +190,7 @@ def run_bench() -> dict:
     queries["dedup_simhash"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
-    embedding_nn_lsh(rd.read_parquet(emb_path), threshold=0.0,
-                     n_planes=6, max_hamming=2).count()
+    embedding_nn_lsh(rd.read_parquet(emb_path), threshold=0.0).count()
     queries["embedding_nn_lsh"] = round(time.perf_counter() - t, 3)
 
     t = time.perf_counter()
@@ -487,8 +486,7 @@ def run_bigsf() -> dict:
             rd.read_parquet(docs, columns=["doc_id", "text"]),
             context_len=2048).count())
         timed("embedding_nn_lsh", lambda: embedding_nn_lsh(
-            rd.read_parquet(embs), threshold=0.0, n_planes=6,
-            max_hamming=2).count())
+            rd.read_parquet(embs), threshold=0.0).count())
         timed("events_distinct_hll", lambda: hll_distinct(
             rd.read_parquet(evts, columns=["event_type", "user_id"]),
             "event_type", "user_id").count())

@@ -1355,48 +1355,97 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95):
     )
 
 
-def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
-                     max_hamming: int = 1, seed: int = 11):
+def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int | None = None,
+                     max_hamming: int | None = None, seed: int = 11,
+                     target_bucket_rows: int = 256, bucket_cap: int = 4096):
     """LSH nearest-neighbor join — the scale path for "every vector reports
     its closest other vector" (the broadcast-matrix :func:`embedding_near_dup`
     is the small-N verifier).
 
     Index-side multi-probe: each row is replicated into its own bucket plus
-    every bucket within *max_hamming* bit flips (``(1+n_planes)``× row
-    blowup at hamming≤1 — the standard multi-probe recall/cost trade).
-    ``groupby("bucket")`` shuffles ONCE; each group emits per-vector local
-    best-neighbor partials (vec_id, dup_of, sim); a second slim groupby
-    keeps the global max per vec_id. No driver materialization, no
-    broadcast of the data matrix. Returns rows with sim ≥ *threshold*."""
+    every bucket within *max_hamming* bit flips — the standard multi-probe
+    recall/cost trade (two vectors meet iff their signatures are within
+    ``2·max_hamming`` flips). Scale shape, in order of what it cost us:
+
+    - **Plane count is COUNT-ADAPTIVE** (``n_planes=None``, the default):
+      the smallest P with ``n·replicas/2^P ≤ target_bucket_rows``. A fixed
+      P makes mean bucket size — and the per-bucket O(size²) best-neighbor
+      kernel — grow linearly with n, i.e. the whole op quadratic (measured:
+      20 k vecs 94 s → 80 k vecs 1521 s at fixed P=6). Explicit ``n_planes``
+      is honored unchanged (the sf-scale driver query pins P=6/h=2).
+    - **Embeddings cross the shuffle as fixed-width binary** (float64
+      bytes), never as a ``list<float>`` column — list payloads on fat
+      row counts are poison in Ray sort shuffles (the dedup-module lesson).
+    - **No raw ``groupby("bucket")``**: buckets are coarse-partitioned
+      (``bucket % n_parts``) and each part runs one vectorized kernel over
+      its buckets (np.argsort + boundary slices — 2^P buckets would
+      otherwise each pay pandas group dispatch).
+    - **Hot-bucket cap**: natural embeddings are CLUSTERED — a tight
+      cluster concentrates in a few buckets no matter how many planes cut
+      it. Buckets above *bucket_cap* rows are deterministically sub-split
+      by vec-id hash; each row then reports its best neighbor within its
+      sub-bucket (still a true cosine, marginally less likely to be THE
+      nearest — the documented approximate-NN trade that keeps worst-case
+      work O(n·cap) instead of O(n²)).
+
+    A second slim coarse-keyed shuffle keeps the global max per vec_id. No
+    driver materialization, no broadcast of the data matrix. Returns rows
+    with sim ≥ *threshold*."""
+    import math
+
     import ray as _ray
 
-    from zeno_ray.ops.ann import _normalize, probe_signatures
+    from zeno_ray.ops.ann import _normalize
+
+    if max_hamming is None:
+        max_hamming = 1 if n_planes is None else 1
+    if n_planes is None:
+        n_total = emb_ds.count()
+        n_planes = 6
+        while n_planes < 24:
+            repl = sum(math.comb(n_planes, r)
+                       for r in range(0, max_hamming + 1))
+            if n_total * repl / (1 << n_planes) <= target_bucket_rows:
+                break
+            n_planes += 1
 
     rng = np.random.RandomState(seed)
     first = emb_ds.take(1)[0]["embedding"]
     planes = rng.normal(size=(n_planes, len(first)))
     planes_ref = _ray.put(planes)
+    n_parts = _coarse_n_parts()
+
+    # all ≤max_hamming-bit flip masks, precomputed once (vectorized probe
+    # expansion: buckets = sig ^ masks — no per-row python loop)
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    masks_np = np.asarray(masks, dtype=np.uint64)
 
     class _MultiProbeBucket:
         def __init__(self, planes_ref):
             self.planes = _ray.get(planes_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            mat = _normalize(
-                np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-            bits = (mat @ self.planes.T) > 0
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            normed = _normalize(mat)
+            bits = (normed @ self.planes.T) > 0
             sigs = bits.dot(1 << np.arange(bits.shape[1], dtype=np.uint64))
-            ids, bkts, embs = [], [], []
-            emb_np = batch["embedding"].to_numpy()
-            for i, sig in enumerate(int(s) for s in sigs):
-                for s_ in probe_signatures(sig, n_planes, max_hamming):
-                    ids.append(batch["vec_id"].iloc[i])
-                    bkts.append(s_)
-                    embs.append(emb_np[i])
+            R = len(masks_np)
+            bkts = (sigs[:, None] ^ masks_np[None, :]).ravel()
+            ids = np.repeat(batch["vec_id"].to_numpy(np.int64), R)
+            blobs = np.array([row.tobytes() for row in mat], dtype=object)
             return pd.DataFrame({
                 "vec_id": ids,
-                "bucket": np.asarray(bkts, dtype=np.uint64),
-                "embedding": embs,
+                "bucket": bkts,
+                "part": (bkts % np.uint64(n_parts)).astype(np.int64),
+                "emb": np.repeat(blobs, R),
             })
 
     bucketed = emb_ds.map_batches(
@@ -1408,25 +1457,61 @@ def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
                           "dup_of": pd.Series([], dtype="int64"),
                           "sim": pd.Series([], dtype="float64")})
 
-    def local_best(g: pd.DataFrame) -> pd.DataFrame:
+    def nn_in_part(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return empty
-        mat = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        sims = mat @ mat.T
-        ids = g["vec_id"].to_numpy()
-        same = ids[:, None] == ids[None, :]  # replicas of one vector
-        sims[same] = -np.inf
-        best = np.argmax(sims, axis=1)
-        best_sim = sims[np.arange(len(ids)), best]
-        ok = np.isfinite(best_sim)
-        return pd.DataFrame({"vec_id": ids[ok], "dup_of": ids[best][ok],
-                             "sim": best_sim[ok]})
+        ids_all = g["vec_id"].to_numpy(np.int64)
+        bkt = g["bucket"].to_numpy(np.uint64)
+        mat_all = _normalize(np.frombuffer(
+            b"".join(g["emb"]), dtype=np.float64).reshape(len(ids_all), -1))
+        order = np.argsort(bkt, kind="stable")
+        bkt_s = bkt[order]
+        bounds = np.flatnonzero(np.diff(bkt_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(bkt_s)]])
+        out_id, out_dup, out_sim = [], [], []
 
-    # global-best reduce: per-batch combiner + coarse-partition shuffle
+        def bucket_best(sel: np.ndarray) -> None:
+            m = len(sel)
+            if m < 2:
+                return
+            ids = ids_all[sel]
+            mat = mat_all[sel]
+            sims = mat @ mat.T
+            np.fill_diagonal(sims, -np.inf)
+            best = np.argmax(sims, axis=1)
+            out_id.append(ids)
+            out_dup.append(ids[best])
+            out_sim.append(sims[np.arange(m), best])
+
+        for lo, hi in zip(starts, ends):
+            sel = order[lo:hi]
+            m = hi - lo
+            if m <= bucket_cap:
+                bucket_best(sel)
+                continue
+            # hot bucket (clustered data): deterministic vec-id-hash
+            # sub-split bounds the O(size²) kernel at O(size·cap)
+            n_sub = -(-m // bucket_cap)
+            sub = (ids_all[sel].astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_sub)
+            so = np.argsort(sub, kind="stable")
+            sub_s = sub[so]
+            sb = np.flatnonzero(np.diff(sub_s)) + 1
+            for slo, shi in zip(np.concatenate([[0], sb]),
+                                np.concatenate([sb, [m]])):
+                bucket_best(sel[so[slo:shi]])
+
+        if not out_id:
+            return empty
+        return best_per_vec(pd.DataFrame({
+            "vec_id": np.concatenate(out_id),
+            "dup_of": np.concatenate(out_dup),
+            "sim": np.concatenate(out_sim)}))
+
+    # global-best reduce: per-part combiner + coarse-partition shuffle
     # (part = vec_id % n_parts), one vectorized sort/drop_duplicates per
     # part — never a raw groupby(vec_id) (tiny-groups trap at 10^9 rows)
-    n_parts = _coarse_n_parts()
-
     def best_per_vec(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["vec_id", "sim", "dup_of"],
                             ascending=[True, False, True], kind="stable")
@@ -1438,8 +1523,8 @@ def embedding_nn_lsh(emb_ds, threshold: float = 0.0, n_planes: int = 8,
                                % n_parts).astype("int64"))
 
     out = (
-        bucketed.groupby("bucket")
-        .map_groups(local_best, batch_format="pandas")
+        bucketed.groupby("part")
+        .map_groups(nn_in_part, batch_format="pandas")
         .map_batches(combine_to_part, batch_format="pandas")
         .groupby("part")
         .map_groups(
