@@ -83,6 +83,19 @@ def test_minhash_planted_precision_recall():
     assert all(len(bases) == 1 for bases in by_cluster.values())
 
 
+def test_minhash_shuffle_fallback_matches_broadcast(docs_ds, monkeypatch):
+    """Forcing the past-broadcast-bound repartition-join verify path must
+    produce byte-identical clusters to the broadcast verify path."""
+    import zeno_ray.ops.dedup as dd
+
+    want = dd.minhash_dedup(docs_ds, jaccard_threshold=0.7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "MINHASH_BROADCAST_SIG_BYTES", 0)
+    got = dd.minhash_dedup(docs_ds, jaccard_threshold=0.7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_minhash_deterministic(docs_ds):
     from zeno_ray.ops.dedup import minhash_dedup
 

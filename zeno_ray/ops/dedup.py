@@ -38,6 +38,12 @@ import pandas as pd
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
+# minhash_dedup verifies candidate pairs against the full signature matrix
+# via a single ray.put broadcast while it fits this many bytes (~4 M docs
+# at the default n_perm=64); past it, the keyed-shuffle repartition join
+# takes over. Tests shrink this to force the shuffle path on small data.
+MINHASH_BROADCAST_SIG_BYTES = 2 << 30
+
 
 def _mix64(x) -> np.ndarray:
     """splitmix64 finalizer — vectorized uint64 avalanche (wraparound
@@ -302,17 +308,26 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
 
     Scale shape — every stage is distributed except the union-find:
     signatures are computed ONCE (materialized intermediate, spillable);
-    band explode → candidate pairs; signatures attach to pair sides via
-    two keyed shuffles (Ray Data has no join — union + groupby IS the
-    repartition join); signature-Jaccard verification is vectorized numpy.
-    Every shuffle keys on a COARSE hash partition (``n_parts`` groups ≈
-    a few per core, each key mapping to exactly one part), never on the
-    raw bucket/doc/pair key — ``map_groups`` over millions of tiny groups
-    pays Python overhead per key, the thing that cannot fly at 10^9 docs;
-    inside a part everything is a vectorized pandas groupby/merge. Only
-    the VERIFIED edge list (tiny in the LSH regime) reaches the driver;
-    the (doc_id, cluster) product is labeled distributedly via a
-    broadcast root map and streams out as a Dataset.
+    band explode → candidate pairs; verification is vectorized numpy
+    signature-Jaccard. Every shuffle keys on a COARSE hash partition
+    (``n_parts`` groups ≈ a few per core, each key mapping to exactly one
+    part), never on the raw bucket/doc/pair key — ``map_groups`` over
+    millions of tiny groups pays Python overhead per key, the thing that
+    cannot fly at 10^9 docs; inside a part everything is a vectorized
+    pandas groupby/merge.
+
+    Verify-join split (the pagerank/ngram broadcast-vs-shuffle precedent):
+    while the signature matrix fits the broadcast bound (n_docs · n_perm·8
+    bytes ≤ 2 GiB ≈ 4 M docs), it is collected once, ``ray.put``, and the
+    Jaccard check is a ZERO-SHUFFLE ``map_batches`` over the pairs where
+    they already live — the two union+groupby repartition joins were 52 s
+    of a 73 s run at just 200 k docs (Ray sort shuffles price binary
+    payload columns steeply). Past the bound it falls back to attaching
+    signatures to pair sides via the two keyed shuffles (signatures as
+    fixed-width BYTES, never list<uint64>). Only the VERIFIED edge list
+    (tiny in the LSH regime) reaches the driver; the (doc_id, cluster)
+    product is labeled distributedly via a broadcast root map and streams
+    out as a Dataset.
     """
     import ray as _ray
 
@@ -333,18 +348,33 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
         return out
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
-        # only buckets with ≥2 docs can make pairs — filter vectorized
-        counts = g.groupby(["band", "band_hash"])["doc_id"].transform("size")
-        g = g[counts >= 2]
-        if g.empty:
-            return _PAIR_EMPTY
+        # fully vectorized all-pairs within buckets — no per-bucket pandas
+        # loop (a part holds thousands of tiny buckets; iterating them in
+        # Python is the tiny-groups trap one level down). Bucket identity
+        # collapses to one uint64 key (band_hash ⊕ band·φ — same scheme as
+        # the part key); a key collision only merges two buckets' candidate
+        # sets, and every candidate is signature-verified downstream.
+        key = (g["band_hash"].to_numpy().astype(np.uint64)
+               ^ (g["band"].to_numpy().astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)))
+        ids = g["doc_id"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key_s, ids_s = key[order], ids[order]
+        new = np.concatenate([[True], key_s[1:] != key_s[:-1]])
+        sizes = np.diff(np.concatenate(
+            [np.flatnonzero(new), [len(key_s)]]))
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
         out_a, out_b = [], []
-        for _, gg in g.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(gg["doc_id"].to_numpy())
-            a, b = np.meshgrid(ids, ids)
-            m = a < b
-            out_a.append(a[m])
-            out_b.append(b[m])
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            M = np.sort(ids_s[sel[:, None] + np.arange(s)[None, :]], axis=1)
+            iu, ju = np.triu_indices(s, k=1)
+            out_a.append(M[:, iu].ravel())
+            out_b.append(M[:, ju].ravel())
+        if not out_a:
+            return _PAIR_EMPTY
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)}).drop_duplicates()
 
@@ -354,21 +384,59 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
         .map_groups(pairs_in_part, batch_format="pandas")
     )
 
+    # ---- broadcast verify (zero-shuffle) while signatures fit 2 GiB ----
+    n_docs_total = sigs.count()
+    if n_docs_total * n_perm * 8 <= MINHASH_BROADCAST_SIG_BYTES:
+        def sig_blob_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "sig": [np.asarray(s, dtype=np.uint64).tobytes()
+                        for s in df["minhash"]],
+            })
+
+        sig_pdf = sigs.map_batches(
+            sig_blob_rows, batch_format="pandas").to_pandas()
+        s_ids = sig_pdf["doc_id"].to_numpy(np.int64)
+        o = np.argsort(s_ids, kind="stable")
+        s_ids = s_ids[o]
+        s_mat = np.frombuffer(
+            b"".join(sig_pdf["sig"].to_numpy()[o]), dtype=np.uint64
+        ).reshape(len(s_ids), n_perm)
+        sig_ref = _ray.put((s_ids, s_mat))
+        del sig_pdf, s_mat
+
+        def verify_broadcast(df: pd.DataFrame) -> pd.DataFrame:
+            ids_s, mat = _ray.get(sig_ref)  # zero-copy shared memory
+            ia = np.searchsorted(ids_s, df["a"].to_numpy(np.int64))
+            ib = np.searchsorted(ids_s, df["b"].to_numpy(np.int64))
+            ok = (mat[ia] == mat[ib]).mean(axis=1) >= jaccard_threshold
+            return df[ok]
+
+        edges = (
+            pairs.map_batches(verify_broadcast, batch_format="pandas")
+            .to_pandas()  # VERIFIED edges only — tiny in the LSH regime
+            .drop_duplicates()
+        )
+        return attach_cluster_labels(sigs.select_columns(["doc_id"]), edges)
+
     # ---- repartition join: signatures onto pair SIDES (part = key % n) --
-    _zero_sig = np.zeros(0, dtype=np.uint64)
+    # signatures travel as fixed-width BYTES (uint64.tobytes) — an Arrow
+    # binary column, never list<uint64>: list payloads on fat row counts
+    # are poison in Ray sort shuffles (the module-wide lesson)
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "part": (df["doc_id"].to_numpy() % n_parts).astype("int64"),
             "key": df["doc_id"], "a": np.int64(-1), "b": np.int64(-1),
-            "sig_a": [_zero_sig] * len(df), "sig": list(df["minhash"]),
+            "sig_a": b"", "sig": [np.asarray(s, dtype=np.uint64).tobytes()
+                                  for s in df["minhash"]],
         })
 
     def key_by_a(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "part": (df["a"].to_numpy() % n_parts).astype("int64"),
             "key": df["a"], "a": df["a"], "b": df["b"],
-            "sig_a": [_zero_sig] * len(df), "sig": [_zero_sig] * len(df),
+            "sig_a": b"", "sig": b"",
         })
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
@@ -383,7 +451,7 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
             "part": (b % n_parts).astype("int64"),
             "key": b,  # rekey by side b for pass 2
             "a": need["a"].to_numpy(), "b": b,
-            "sig_a": list(attached), "sig": [_zero_sig] * len(need),
+            "sig_a": attached.to_numpy(dtype=object), "sig": b"",
         })
 
     def attach_b_and_verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -392,9 +460,11 @@ def minhash_dedup(docs_ds, n_perm: int = 64, n_bands: int = 16,
         if sig.empty or need.empty:
             return _PAIR_EMPTY
         sig_of = dict(zip(sig["key"], sig["sig"]))
-        sb = np.stack([np.asarray(sig_of[k], dtype=np.uint64)
-                       for k in need["key"]])
-        sa = np.stack([np.asarray(s, dtype=np.uint64) for s in need["sig_a"]])
+        sb = np.frombuffer(
+            b"".join(need["key"].map(sig_of)), dtype=np.uint64
+        ).reshape(len(need), -1)
+        sa = np.frombuffer(
+            b"".join(need["sig_a"]), dtype=np.uint64).reshape(len(need), -1)
         ok = (sa == sb).mean(axis=1) >= jaccard_threshold
         return pd.DataFrame({"a": need["a"].to_numpy()[ok],
                              "b": need["b"].to_numpy()[ok]})
