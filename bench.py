@@ -421,7 +421,9 @@ def run_bigsf() -> dict:
 
     Env knobs: RAYZENO_BIGSF_DOCS / _VECS / _EVENTS (1x level; default
     50k docs ≙ a hypothetical testdata sf1.0), RAYZENO_BIGSF_CRAWL_SF
-    (default 0.3; 0 skips the crawl leg)."""
+    (default 0.3; 0 skips the crawl leg), RAYZENO_BIGSF_OPS
+    (comma-separated op-name filter — run a subset standalone, e.g. to
+    re-measure one op free of plasma pressure from earlier legs)."""
     import ray
 
     ncpus = _ncpus()
@@ -464,7 +466,12 @@ def run_bigsf() -> dict:
         evts = os.path.join(sf_dir, "events.parquet")
         q: dict[str, float] = {}
 
+        only = {s for s in os.environ.get(
+            "RAYZENO_BIGSF_OPS", "").split(",") if s}
+
         def timed(name: str, fn) -> None:
+            if only and name not in only:
+                return
             t0 = time.perf_counter()
             fn()
             q[name] = round(time.perf_counter() - t0, 3)
