@@ -1309,6 +1309,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, COUNT(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+        # EXACT n-gram Jaccard dedup is SQL-expressible end-to-end: the Ray
+        # kernel hashes char-5-grams of " ".join(text.lower().split()) only
+        # for speed — set Jaccard over 64-bit gram hashes equals set Jaccard
+        # over the gram strings (no collisions at oracle scale), and the
+        # testdata text is ASCII/single-spaced so normalization = lower().
+        # Components + min-id representative via recursive min-label CTE.
+        "dedup_ngram": """
+        WITH RECURSIVE norm AS (
+            SELECT doc_id, lower(text) AS t FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, substr(t, CAST(i AS INTEGER), 5) AS gram
+            FROM norm, LATERAL unnest(
+                generate_series(1, greatest(length(t) - 4, 1))) AS u(i)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+            SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb
+              ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            GROUP BY 1, 2),
+        edges AS (
+            SELECT i.a, i.b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8),
+        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        reach(doc_id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.doc_id)
+        SELECT doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+        FROM reach GROUP BY doc_id ORDER BY doc_id""",
         "doc_pack_plan": """
         WITH t AS (
             SELECT doc_id,
