@@ -445,6 +445,11 @@ def run_crawl(
                     epoch=k,
                 )
                 next_rows = _cast_frontier(next_rows).materialize()
+                if os.environ.get("RAYZENO_STATS"):
+                    for line in next_rows.stats().splitlines():
+                        if ("tasks executed" in line or "Remote wall" in line
+                                or "Remote cpu" in line or "Operator" in line):
+                            print(f"[fstats e{k}]", line.strip(), flush=True)
             else:
                 new = new.materialize()
                 nxt = (registry.assign(new, k) if registry is not None
