@@ -77,3 +77,27 @@ def test_seen_filter_stage_dataset_level():
     vals = out.to_pandas()["hash"]
     assert len(vals) == 5000
     assert vals.nunique() == 5000
+
+
+def test_bloom_grows_and_stays_correct():
+    """Adaptive bloom growth: a shard whose bloom starts tiny must (a) keep
+    the exact first-wins contract across many rebuilds and (b) actually
+    grow, so the fast path never degrades to an exact-set scan at scale."""
+    from zeno_ray.seen import SeenShard
+
+    shard = SeenShard.remote(0, bloom_bits=256)  # grows past 16 inserts
+    rng = np.random.RandomState(3)
+    h = rng.randint(0, 1 << 63, size=20000, dtype=np.int64).astype(np.uint64)
+    h = np.unique(h)
+    hh = np.concatenate([h, h])
+    rng.shuffle(hh)
+    admitted = []
+    for i in range(0, len(hh), 777):
+        mask = ray.get(shard.check_and_add.remote(hh[i: i + 777]))
+        admitted.extend(hh[i: i + 777][mask].tolist())
+    assert len(admitted) == len(h)
+    assert set(admitted) == set(h.tolist())
+    bits = ray.get(shard.bloom_bits.remote())
+    assert bits >= len(h) * 16 / 4  # grew from 256 to load-proportional
+    # everything already seen afterwards
+    assert not ray.get(shard.check_and_add.remote(h[:500])).any()

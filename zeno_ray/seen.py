@@ -37,11 +37,30 @@ import ray
 class SeenShard:
     """One hash-space shard of the URL-seen set (exact set + bloom fast path)."""
 
+    # grow the bloom when the exact set exceeds bits/16 — a 1-hash bloom's
+    # false-positive rate ≈ fill fraction, so this caps the slow-path (exact
+    # set probe) share of lookups at ~6%. Growth is 4× per rebuild: O(log)
+    # rebuilds over a crawl, each a single vectorized re-add of the set.
+    # At 10^8 URLs/shard the bloom tops out near 200 MB — small next to the
+    # ~4 GB the exact set itself costs at that load.
+    _GROW_AT_FILL = 16
+
     def __init__(self, shard_id: int, bloom_bits: int = 1 << 24):
         self.shard_id = shard_id
         self._set: set[int] = set()
+        self._bloom_bits = bloom_bits
         self._bloom = np.zeros(bloom_bits // 64, dtype=np.uint64)
         self._bloom_mask = np.uint64(bloom_bits - 1)
+
+    def _maybe_grow_bloom(self) -> None:
+        if len(self._set) * self._GROW_AT_FILL <= self._bloom_bits:
+            return
+        while len(self._set) * self._GROW_AT_FILL > self._bloom_bits:
+            self._bloom_bits *= 4
+        self._bloom = np.zeros(self._bloom_bits // 64, dtype=np.uint64)
+        self._bloom_mask = np.uint64(self._bloom_bits - 1)
+        self._bloom_add(np.fromiter(self._set, dtype=np.uint64,
+                                    count=len(self._set)))
 
     def _bloom_maybe(self, h: np.ndarray) -> np.ndarray:
         idx = h & self._bloom_mask
@@ -78,6 +97,7 @@ class SeenShard:
         new_vals = uniq[new_mask]
         s.update(new_vals.tolist())
         self._bloom_add(new_vals)
+        self._maybe_grow_bloom()
         out = np.zeros(len(h), dtype=bool)
         out[first_idx[new_mask]] = True
         return out
@@ -86,6 +106,7 @@ class SeenShard:
         h = hashes.astype(np.uint64, copy=False)
         self._set.update(h.tolist())
         self._bloom_add(h)
+        self._maybe_grow_bloom()
         return len(self._set)
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -101,6 +122,9 @@ class SeenShard:
     def size(self) -> int:
         return len(self._set)
 
+    def bloom_bits(self) -> int:
+        return self._bloom_bits
+
     def dump(self) -> np.ndarray:
         return np.sort(np.fromiter(self._set, dtype=np.uint64, count=len(self._set)))
 
@@ -108,6 +132,7 @@ class SeenShard:
         self._set = set(hashes.astype(np.uint64).tolist())
         self._bloom[:] = 0
         self._bloom_add(hashes.astype(np.uint64))
+        self._maybe_grow_bloom()
         return len(self._set)
 
 
