@@ -261,6 +261,24 @@ def run_bench() -> dict:
                  "event_type", "user_id").count()
     queries["events_distinct_hll"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.dedup import ngram_decontaminate
+    from zeno_ray.ops.relational import events_retention
+    from zeno_ray.ops.text import repetition_features
+
+    t = time.perf_counter()
+    rd.read_parquet(docs_path, columns=["doc_id", "text"]) \
+        .map_batches(repetition_features, batch_format="pandas",
+                     batch_size=4096).count()
+    queries["doc_repetition"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    ngram_decontaminate(rd.read_parquet(docs_path, columns=["doc_id", "text"]))
+    queries["doc_decontaminate"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    events_retention(sf_dir)
+    queries["events_retention"] = round(time.perf_counter() - t, 3)
+
     t = time.perf_counter()
     lineitem_agg(sf_dir)
     queries["lineitem_agg"] = round(time.perf_counter() - t, 3)

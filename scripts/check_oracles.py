@@ -428,13 +428,30 @@ def check_embedding_kmeans(got: pd.DataFrame, sf_dir: str) -> None:
         "distributed kmeans assignment != sequential re-execution"
 
 
+def check_ann_topk_approx(got: pd.DataFrame, sf_dir: str) -> None:
+    """The merged approximate-ANN query: delegate each method's rows to
+    its per-method recall/sim check."""
+    check_ann_topk_ivf(got[got["method"] == "ivf"].drop(columns="method"),
+                       sf_dir)
+    check_ann_topk_lsh(got[got["method"] == "lsh"].drop(columns="method"),
+                       sf_dir)
+
+
+def check_mm_features(got: pd.DataFrame, sf_dir: str) -> None:
+    """The merged multimodal query: delegate each modality's rows to its
+    per-stage sequential re-execution check (padding columns from the
+    superset schema are ignored by each check's column list)."""
+    check_mm_decode(got[got["modality"] == "image"], sf_dir)
+    check_mm_audio(got[got["modality"] == "audio"], sf_dir)
+    check_mm_frames(got[got["modality"] == "video"], sf_dir)
+
+
 PY_ORACLES = {
-    "ann_topk_ivf": check_ann_topk_ivf,
+    "ann_topk_approx": check_ann_topk_approx,
     "embedding_kmeans": check_embedding_kmeans,
     "events_distinct_users": check_events_distinct_users,
     "host_pagerank": check_host_pagerank,
     "host_components": check_host_components,
-    "ann_topk_lsh": check_ann_topk_lsh,
     "crawl_budget_order": check_crawl_budget_order,
     "doc_langid": check_doc_langid,
     "doc_fingerprint": check_doc_fingerprint,
@@ -442,9 +459,7 @@ PY_ORACLES = {
     "dedup_ngram": check_dedup_ngram,
     "dedup_simhash": check_dedup_simhash,
     "embedding_near_dup": check_embedding_near_dup,
-    "mm_decode": check_mm_decode,
-    "mm_audio": check_mm_audio,
-    "mm_frames": check_mm_frames,
+    "mm_features": check_mm_features,
     "enrich_pages": check_enrich_pages,
 }
 

@@ -621,3 +621,111 @@ def test_ngram_jaccard_dedup_diverse_corpus_legacy_mode():
     want = {d: roots.get(d, d) for d in ids}
     assert got == want
     assert got[101] == got[1]  # the exact dup clustered
+
+
+# ------------------------------------------------- repetition signals
+
+
+def test_repetition_features_closed_form():
+    from zeno_ray.ops.text import repetition_features
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b a", "x", "", "q q q q"],
+    })
+    out = repetition_features(docs)
+    # "x" and "" have < 2 words (string-split semantics) -> dropped
+    assert out["doc_id"].tolist() == [0, 3]
+    r0 = out.iloc[0]
+    assert r0["n_words"] == 5
+    assert r0["distinct_word_frac"] == 0.4      # {a, b} of 5
+    assert r0["top_word_frac"] == 0.6           # "a" x3
+    assert r0["top_bigram_frac"] == 0.5         # "a b" 2 of 4
+    r3 = out.iloc[1]
+    assert r3["distinct_word_frac"] == 0.25
+    assert r3["top_word_frac"] == 1.0
+    assert r3["top_bigram_frac"] == 1.0
+
+
+def test_repetition_features_distributed_matches_counter(ray_session):
+    from collections import Counter
+
+    from zeno_ray.ops.text import repetition_features
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab, size=rng.randint(2, 40)))}
+            for i in range(200)]
+    got = (rd.from_items(rows)
+           .map_batches(repetition_features, batch_format="pandas",
+                        batch_size=32)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 200
+    for row in rows[::17]:
+        words = row["text"].split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        wc, bc = Counter(words), Counter(bigrams)
+        g = got[got["doc_id"] == row["doc_id"]].iloc[0]
+        assert g["n_words"] == len(words)
+        assert g["distinct_word_frac"] == np.floor(
+            len(wc) / len(words) * 1e6 + 0.5) / 1e6
+        assert g["top_word_frac"] == np.floor(
+            max(wc.values()) / len(words) * 1e6 + 0.5) / 1e6
+        assert g["top_bigram_frac"] == np.floor(
+            max(bc.values()) / len(bigrams) * 1e6 + 0.5) / 1e6
+
+
+# ------------------------------------------------- decontamination
+
+
+def test_ngram_decontaminate_matches_bruteforce(ray_session):
+    from zeno_ray.ops.dedup import ngram_decontaminate
+
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 30))}
+            for i in range(120)]
+    # plant contamination: full copy of benchmark doc 29, prefix of 58
+    docs[5]["text"] = docs[29]["text"]
+    docs[7]["text"] = " ".join(docs[58]["text"].split(" ")[:10])
+
+    got = ngram_decontaminate(rd.from_items(docs), n=5, bench_mod=29)
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+
+    bench = set().union(*(grams(d["text"]) for d in docs
+                          if d["doc_id"] % 29 == 0))
+    want = {}
+    for d in docs:
+        if d["doc_id"] % 29 == 0:
+            continue
+        shared = grams(d["text"]) & bench
+        if shared:
+            want[d["doc_id"]] = len(shared)
+    assert dict(zip(got["doc_id"], got["n_shared"])) == want
+    assert 5 in want and 7 in want  # the planted overlaps were found
+
+
+# ------------------------------------------------- retention cohorts
+
+
+def test_events_retention_matches_pandas(ray_session):
+    from zeno_ray.ops.relational import events_retention
+
+    sf = "/root/testdata/sf0.001"
+    got = events_retention(sf)
+    ev = pd.read_parquet(sf + "/events.parquet", columns=["user_id", "ts"])
+    pairs = pd.DataFrame({"user_id": ev["user_id"],
+                          "day": ev["ts"].dt.normalize()}).drop_duplicates()
+    first = pairs.groupby("user_id")["day"].transform("min")
+    want = (pd.DataFrame({
+                "cohort_day": first.dt.strftime("%Y-%m-%d"),
+                "day_offset": (pairs["day"] - first).dt.days.astype("int64")})
+            .groupby(["cohort_day", "day_offset"], as_index=False).size()
+            .rename(columns={"size": "n_users"}))
+    want["n_users"] = want["n_users"].astype("int64")
+    want = want.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -1652,3 +1652,101 @@ def embedding_near_dup_lsh(emb_ds, threshold: float = 0.95, n_planes: int = 8,
         bucketed.groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+# -------------------------------------------------------- decontamination
+
+
+def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
+                        id_col: str = "doc_id", text_col: str = "text"
+                        ) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-*n*-gram with a held-out benchmark set (the standard
+    eval-contamination sweep a training-data pipeline runs before
+    packing — word-13-gram in GPT-3 App. C, 10-gram in Llama 2; *n*
+    defaults to 5 to suit the synthetic corpus's short docs). The
+    benchmark set here is ``doc_id % bench_mod == 0`` (a deterministic
+    stand-in for "the eval suite" that needs no external data).
+
+    Returns (doc_id, n_shared): every NON-benchmark document sharing ≥ 1
+    distinct n-gram with any benchmark document, with its count of
+    distinct shared n-grams, sorted by doc_id.
+
+    Scale shape (mirrors the module's keyed-shuffle discipline):
+
+    - Per batch, words hash once per UNIQUE word (blake2b via
+      :func:`_h64`; vocab ≪ tokens), n-grams combine the word hashes
+      with positional multipliers + splitmix64 — one vectorized pass, no
+      per-gram Python. (doc, gram) rows are pre-deduped in the batch
+      (the combiner), so a doc repeating a gram ships it once.
+    - Grams coarse-partition on ``gram % n_parts`` — every copy of a
+      gram lands in one part; the bench⋈corpus semi-join is ONE
+      vectorized isin per part, never a raw ``groupby(gram)`` (10^11
+      distinct grams at 100 TB = 10^11 tiny groups otherwise).
+    - Only per-part (doc, count) partials reach the driver — bounded by
+      contaminated docs × parts, not corpus size.
+
+    Grams are compared as 64-bit hashes: a false share needs a blake2b+
+    splitmix collision (~n²/2⁶⁴ — negligible, and absent at oracle
+    scale, where the DuckDB oracle joins on the gram STRINGS)."""
+    n_parts = _coarse_n_parts()
+    mults = _pos_mults(n)
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        words_per_doc = [t.split(" ") for t in df[text_col]]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        flat: list = []
+        for w in words_per_doc:
+            flat.extend(w)
+        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        uh = np.fromiter((_h64(w.encode("utf-8", "ignore")) for w in uniq),
+                         dtype=np.uint64, count=len(uniq))
+        wh = uh[codes.astype(np.int64)]
+        m = len(wh) - (n - 1)
+        empty = pd.DataFrame({"gram": pd.Series([], dtype="int64"),
+                              "doc_id": pd.Series([], dtype="int64"),
+                              "bench": pd.Series([], dtype="bool"),
+                              "part": pd.Series([], dtype="int64")})
+        if m <= 0:
+            return empty
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(n):
+            acc += wh[j: j + m] * mults[j]
+        gram = _mix64(acc)
+        valid = ids[:m] == ids[n - 1:]
+        if not valid.any():
+            return empty
+        out = pd.DataFrame({
+            "gram": gram[valid].view(np.int64),
+            "doc_id": ids[:m][valid],
+        }).drop_duplicates()
+        out["bench"] = (out["doc_id"] % bench_mod == 0)
+        out["part"] = (out["gram"].to_numpy().view(np.uint64)
+                       % np.uint64(n_parts)).astype("int64")
+        return out
+
+    def shared_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        bench_grams = g.loc[g["bench"], "gram"].unique()
+        cand = g[~g["bench"] & g["gram"].isin(bench_grams)]
+        if cand.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        cand = cand.drop_duplicates(["doc_id", "gram"])
+        out = cand.groupby("doc_id", as_index=False).size()
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "n_shared": out["size"].astype("int64")})
+
+    pdf = (
+        docs_ds.map_batches(gram_rows, batch_format="pandas")
+        .groupby("part")
+        .map_groups(shared_in_part, batch_format="pandas")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_shared": pd.Series([], dtype="int64")})
+    out = pdf.groupby("doc_id", as_index=False)["n_shared"].sum()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -527,3 +527,53 @@ def events_funnel(sf_dir: str,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their first active day
+    (the cohort), counting distinct users active at each day offset —
+    the classic training-telemetry / product-analytics wide aggregate.
+
+    Shape: (1) per batch, rows collapse to DISTINCT (user, day) pairs
+    (the combiner — at 100 TB an active user's thousands of same-day
+    events leave the scan as one row per block); (2) pairs land in
+    ``part = user_id % n_parts`` via one keyed shuffle, so EVERY pair of
+    a user co-locates and the within-part min day IS the global cohort
+    day; (3) one vectorized kernel per part computes cohort + offset and
+    emits exact (cohort_day, day_offset, n_users) counts — exact, not
+    partial, because users never span parts; (4) the driver sums the
+    ≤ cohorts×offsets×parts partial rows.
+
+    Oracle: __ray_entry__.oracle_sql['events_retention'] (MIN(CAST(ts AS
+    DATE)) per user joined back to distinct activity days)."""
+    n_parts = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4) \
+        if ray.is_initialized() else 32
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": df["ts"].dt.normalize(),
+        }).drop_duplicates()
+        out["part"] = (out["user_id"].to_numpy() % n_parts).astype("int64")
+        return out
+
+    def cohort_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        first = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort_day": first.dt.strftime("%Y-%m-%d"),
+            "day_offset": (g["day"] - first).dt.days.astype("int64"),
+        })
+        r = out.groupby(["cohort_day", "day_offset"], as_index=False).size()
+        return r.rename(columns={"size": "n_users"})
+
+    pdf = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(day_partial, batch_format="pandas", batch_size=65536)
+        .groupby("part")
+        .map_groups(cohort_in_part, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pdf.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)

@@ -85,6 +85,69 @@ def quality_features(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def repetition_features(df: pd.DataFrame) -> pd.DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition filters): fraction of
+    distinct words, fraction taken by the most frequent word, fraction of
+    bigrams taken by the most frequent bigram. Stateless, shuffle-free —
+    one vectorized kernel per batch (explode → integer-code groupby; no
+    per-doc Python loop beyond the initial split).
+
+    SQL-reproducible by construction (oracle in
+    __ray_entry__.oracle_sql['doc_repetition']): words =
+    ``string_split(text, ' ')`` (empty pieces count), bigrams join
+    adjacent words with one space, fractions are ROUND(x, 6) with
+    half-away-from-zero ties (DuckDB ROUND semantics — mirrored here via
+    floor(x*1e6+0.5), NOT numpy banker's rounding). Docs with < 2 words
+    have no bigrams and are dropped (mirrors the oracle's inner join)."""
+    words_per_doc = [t.split(" ") for t in df["text"]]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(words_per_doc))
+    n_docs = len(df)
+    flat: list = []
+    for w in words_per_doc:
+        flat.extend(w)
+    ids = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    codes = codes.astype(np.uint64)
+    v = np.uint64(max(len(uniques), 1))
+
+    # per-(doc, word) counts -> distinct count + max count per doc
+    key = ids.astype(np.uint64) * v + codes
+    uk, counts = np.unique(key, return_counts=True)
+    udoc = (uk // v).astype(np.int64)
+    n_distinct = np.bincount(udoc, minlength=n_docs)
+    top_word = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(top_word, udoc, counts)
+
+    # bigrams: adjacent word-code pairs that stay inside one doc
+    ends = np.cumsum(lens)
+    valid = np.ones(len(codes), dtype=bool)
+    if len(ends):
+        valid[ends - 1] = False
+    pos = np.flatnonzero(valid)
+    top_bigram = np.zeros(n_docs, dtype=np.int64)
+    if len(pos):
+        pk = (ids[pos].astype(np.uint64) * v + codes[pos]) * v + codes[pos + 1]
+        upk, pcounts = np.unique(pk, return_counts=True)
+        updoc = (upk // (v * v)).astype(np.int64)
+        np.maximum.at(top_bigram, updoc, pcounts)
+
+    def _round6_half_up(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    keep = lens >= 2
+    n_bigrams = np.maximum(lens - 1, 1)
+    out = pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy()[keep],
+        "n_words": lens[keep],
+        "distinct_word_frac": _round6_half_up(n_distinct / lens)[keep],
+        "top_word_frac": _round6_half_up(top_word / lens)[keep],
+        "top_bigram_frac": _round6_half_up(top_bigram / n_bigrams)[keep],
+    })
+    return out
+
+
 _BPE_RE = re.compile(r"\w+|[^\w\s]")
 
 
