@@ -457,13 +457,13 @@ def run_bigsf() -> dict:
     from zeno_ray.bigsf import ensure_bigsf
     from zeno_ray.crawl import warm_cluster
     from zeno_ray.ops.dedup import (embedding_nn_lsh, exact_dedup,
-                                    minhash_dedup, ngram_jaccard_dedup,
-                                    simhash_groups)
+                                    minhash_dedup, ngram_decontaminate,
+                                    ngram_jaccard_dedup, simhash_groups)
     from zeno_ray.ops.pack import pack_chunks, pack_plan
     from zeno_ray.ops.relational import (asof_join_events, events_funnel,
-                                         value_quantiles)
+                                         events_retention, value_quantiles)
     from zeno_ray.ops.sketch import hll_distinct
-    from zeno_ray.ops.text import top_tokens
+    from zeno_ray.ops.text import repetition_features, top_tokens
 
     warm_cluster(ncpus)
 
@@ -518,6 +518,13 @@ def run_bigsf() -> dict:
         timed("events_asof", lambda: asof_join_events(sf_dir))
         timed("events_funnel", lambda: events_funnel(sf_dir))
         timed("events_quantiles", lambda: value_quantiles(sf_dir))
+        timed("doc_repetition", lambda: rd.read_parquet(
+            docs, columns=["doc_id", "text"])
+            .map_batches(repetition_features, batch_format="pandas",
+                         batch_size=4096).count())
+        timed("doc_decontaminate", lambda: ngram_decontaminate(
+            rd.read_parquet(docs, columns=["doc_id", "text"])))
+        timed("events_retention", lambda: events_retention(sf_dir))
 
         out["levels"][tag] = {
             "n_docs": d1 * mult, "n_vecs": e1 * mult, "n_events": v1 * mult,

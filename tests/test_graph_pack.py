@@ -539,3 +539,39 @@ def test_pack_segment_slicing_partitions_stream(doc_lens, L):
         assert lo == pos
         pos = hi
     assert pos == sum(doc_lens)
+
+
+def test_shuffle_shard_export_deterministic_and_resumable(ray_session, tmp_path):
+    import os
+
+    from zeno_ray.ops.pack import _shuffle_key, shuffle_shard_export
+    from zeno_ray.sinks import partitioned_dataset
+
+    docs = rd.read_parquet(TESTDATA + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    out = str(tmp_path / "shards")
+    r1 = shuffle_shard_export(docs, out, n_shards=8)
+    assert sorted(r1["written"]) == sorted(str(k) for k in range(8))
+
+    # every doc appears exactly once across the shards
+    back = partitioned_dataset(out).to_pandas()
+    assert len(back) == n_docs
+    assert back["doc_id"].is_unique
+
+    # within-shard order is the splitmix64 order, and shard assignment
+    # is the key's top 3 bits — pure functions of doc_id
+    for k in range(8):
+        pdf = pd.read_parquet(os.path.join(out, f"part={k}"))
+        keys = _shuffle_key(pdf["doc_id"].to_numpy(np.int64))
+        assert (keys >> np.uint64(61)).max(initial=0) <= 7
+        assert ((keys >> np.uint64(61)) == k).all()
+        assert (np.diff(keys.view(np.int64).astype(np.uint64).astype(object)) > 0).all() \
+            if len(keys) > 1 else True
+
+    # resume: tear one shard, rerun replaces only it
+    torn = os.path.join(out, f"part=3")
+    os.remove(torn + "._SUCCESS")
+    r2 = shuffle_shard_export(docs, out, n_shards=8)
+    assert r2["written"] == ["3"]
+    assert partitioned_dataset(out).count() == n_docs

@@ -729,3 +729,29 @@ def test_events_retention_matches_pandas(ray_session):
     want["n_users"] = want["n_users"].astype("int64")
     want = want.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def test_exact_dedup_incremental_matches_bruteforce(ray_session):
+    from zeno_ray.ops.dedup import exact_dedup, exact_dedup_incremental
+
+    prior_rows = [{"doc_id": i, "text": f"snapshot one doc {i // 2}"}
+                  for i in range(20)]           # 10 distinct texts
+    new_rows = (
+        [{"doc_id": 100 + i, "text": f"snapshot one doc {i}"}
+         for i in range(5)]                     # dupes of the prior corpus
+        + [{"doc_id": 200 + i, "text": f"fresh doc {i // 2}"}
+           for i in range(10)]                  # 5 distinct, each twice
+    )
+    prior_hashes = exact_dedup(rd.from_items(prior_rows))
+    got = exact_dedup_incremental(rd.from_items(new_rows), prior_hashes) \
+        .to_pandas().sort_values("doc_id")
+    # survivors: first-id row of each fresh text; prior dupes all dropped
+    assert got["doc_id"].tolist() == [200, 202, 204, 206, 208]
+
+    # incremental(prior ∪ new) == full-corpus dedup on the union
+    both = exact_dedup(rd.from_items(prior_rows + new_rows)).to_pandas()
+    union_ids = set(both["doc_id"])
+    assert set(got["doc_id"]) == {i for i in union_ids if i >= 100}

@@ -1750,3 +1750,64 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
     out = pdf.groupby("doc_id", as_index=False)["n_shared"].sum()
     out["n_shared"] = out["n_shared"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --------------------------------------------- incremental (cross-snapshot)
+
+
+def exact_dedup_incremental(new_docs_ds, prior_hashes_ds,
+                            id_col: str = "doc_id", text_col: str = "text"):
+    """Cross-snapshot exact dedup: keep only the rows of *new_docs_ds*
+    whose text hash appears in neither *prior_hashes_ds* (the previous
+    snapshot's ``text_hash`` column, e.g. the output of
+    :func:`exact_dedup` on last month's corpus) nor earlier (lower-id)
+    in the new snapshot itself. The standard recrawl pattern: each
+    incremental batch dedupes against the accumulated corpus without
+    ever re-reading the old TEXT — only its 8-byte hashes move.
+
+    Shuffle shape: both sides are slim (id, hash) projections tagged
+    with a side flag, coarse-partitioned on ``hash % n_parts`` in ONE
+    union'd shuffle (every copy of a hash co-locates), then one
+    vectorized kernel per part: drop new rows whose hash has a prior-
+    side row, then first-wins within the new side. Returns a Dataset of
+    surviving (id, text_hash) rows — the new snapshot's contribution to
+    the accumulated hash set."""
+    n_parts = _coarse_n_parts()
+
+    def new_side(df: pd.DataFrame) -> pd.DataFrame:
+        h = add_text_hash(df, text_col)
+        out = h[[id_col, "text_hash"]].sort_values(
+            ["text_hash", id_col], kind="stable"
+        ).drop_duplicates("text_hash", keep="first")
+        return pd.DataFrame({
+            id_col: out[id_col].astype("int64"),
+            "text_hash": out["text_hash"].to_numpy(np.uint64).view(np.int64),
+            "side": np.ones(len(out), dtype=np.int8),
+            "part": (out["text_hash"].to_numpy(np.uint64)
+                     % np.uint64(n_parts)).view(np.int64),
+        })
+
+    def prior_side(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text_hash"].to_numpy()
+        hu = h.astype(np.uint64) if h.dtype != np.uint64 else h
+        return pd.DataFrame({
+            id_col: np.full(len(df), -1, dtype=np.int64),
+            "text_hash": hu.view(np.int64),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "part": (hu % np.uint64(n_parts)).view(np.int64),
+        })
+
+    def survivors_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["side"] == 1]
+        seen = g.loc[g["side"] == 0, "text_hash"].unique()
+        new = new[~new["text_hash"].isin(seen)]
+        new = new.sort_values(["text_hash", id_col], kind="stable") \
+                 .drop_duplicates("text_hash", keep="first")
+        return new[[id_col, "text_hash"]]
+
+    return (
+        new_docs_ds.map_batches(new_side, batch_format="pandas")
+        .union(prior_hashes_ds.map_batches(prior_side, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(survivors_in_part, batch_format="pandas")
+    )

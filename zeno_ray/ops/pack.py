@@ -228,3 +228,71 @@ def pack_export(docs_ds, out_dir: str, context_len: int = 2048,
     return write_partitioned(make, out_dir,
                              [str(k) for k in range(n_ranges)],
                              resume=resume)
+
+
+# ------------------------------------------------- shuffled shard export
+
+
+_SHUF_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shuffle_key(ids: np.ndarray) -> np.ndarray:
+    """splitmix64 of doc_id — a deterministic pseudo-random permutation
+    key (same finalizer as ops/dedup._mix64, duplicated to keep the
+    module dependency-free)."""
+    x = ids.astype(np.uint64) * _SHUF_GOLDEN
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def shuffle_shard_export(docs_ds, out_dir: str, n_shards: int = 8,
+                         resume: bool = True) -> dict:
+    """Globally-shuffled training shards: every doc is assigned to one of
+    *n_shards* output shards and ordered pseudo-randomly within it, both
+    as pure functions of ``doc_id`` (splitmix64) — so the export is
+    deterministic, independent of batching/parallelism, and resumable.
+    This is the last stage of a training-data pipeline: the reader that
+    streams shard files sequentially sees a fixed random document order
+    without any runtime shuffle buffer.
+
+    shard = key >> (64 - log2ceil(n_shards)) — the TOP bits of the
+    shuffle key, so shards are contiguous RANGES of the key space: at
+    100 TB the same layout falls out of ONE global range-sort on the key
+    (Ray's sort shuffle), with each output shard a contiguous run of
+    sorted blocks. At sandbox scale we materialize the slim keyed table
+    once and cut shards by filter (re-reads cached blocks, recomputes
+    nothing), writing each through the atomic resumable sink
+    (``part=<shard>`` dirs + _SUCCESS markers, reruns skip sealed
+    shards).
+
+    ``n_shards`` should be a power of two (top-bit ranges are then
+    equal-width; otherwise the trailing ranges clamp into the last
+    shard and skew it).
+
+    Returns the sink's {"written": [...], "skipped": [...]}."""
+    from zeno_ray.sinks import write_partitioned
+
+    shift = np.uint64(64 - max(1, (n_shards - 1).bit_length()))
+    if n_shards == 1:
+        shift = np.uint64(64)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        key = _shuffle_key(df["doc_id"].to_numpy(np.int64))
+        out["shuffle_key"] = key.view(np.int64)
+        shard = (key >> shift) if shift < 64 else np.zeros(len(df), np.uint64)
+        out["shard"] = np.minimum(shard, n_shards - 1).astype("int64")
+        return out
+
+    ds = docs_ds.map_batches(keyed, batch_format="pandas").materialize()
+
+    def make(skey: str):
+        k = int(skey)
+        return (ds.filter(lambda row, k=k: row["shard"] == k)
+                .sort("shuffle_key")
+                .drop_columns(["shard"]))
+
+    return write_partitioned(make, out_dir,
+                             [str(k) for k in range(n_shards)],
+                             resume=resume)
