@@ -755,3 +755,22 @@ def test_exact_dedup_incremental_matches_bruteforce(ray_session):
     both = exact_dedup(rd.from_items(prior_rows + new_rows)).to_pandas()
     union_ids = set(both["doc_id"])
     assert set(got["doc_id"]) == {i for i in union_ids if i >= 100}
+
+
+def test_ngram_decontaminate_shuffle_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Force the keyed-shuffle fallback (bench set 'too big' to
+    broadcast) and assert it returns exactly the broadcast path's
+    result."""
+    import zeno_ray.ops.dedup as dd
+
+    rng = np.random.RandomState(11)
+    vocab = [f"t{i}" for i in range(25)]
+    docs = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 25))}
+            for i in range(90)]
+    docs[3]["text"] = docs[0]["text"]  # doc 0 is a benchmark doc
+    ds = rd.from_items(docs)
+    want = dd.ngram_decontaminate(ds, n=5, bench_mod=29)
+    monkeypatch.setattr(dd, "NGRAM_BENCH_BROADCAST_BYTES", 0)
+    got = dd.ngram_decontaminate(rd.from_items(docs), n=5, bench_mod=29)
+    pd.testing.assert_frame_equal(got, want)
+    assert 3 in set(got["doc_id"])

@@ -1657,6 +1657,49 @@ def embedding_near_dup_lsh(emb_ds, threshold: float = 0.95, n_planes: int = 8,
 # -------------------------------------------------------- decontamination
 
 
+# Bench-gram broadcast bound: at 8 bytes/gram this is ~130 M distinct
+# benchmark n-grams — far beyond any real eval suite. Tests shrink it to
+# force the keyed-shuffle fallback.
+NGRAM_BENCH_BROADCAST_BYTES = 1 << 30
+
+
+def _doc_gram_hashes(df: pd.DataFrame, n: int, mults: np.ndarray,
+                     id_col: str, text_col: str) -> pd.DataFrame:
+    """Distinct (doc_id, gram-hash) rows of a batch: words hash once per
+    UNIQUE word (blake2b via :func:`_h64`; vocab ≪ tokens), n-grams
+    combine the word hashes with positional multipliers + splitmix64 —
+    one vectorized pass, no per-gram Python."""
+    empty = pd.DataFrame({"gram": pd.Series([], dtype="int64"),
+                          "doc_id": pd.Series([], dtype="int64")})
+    if df.empty:
+        return empty
+    words_per_doc = [t.split(" ") for t in df[text_col]]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(words_per_doc))
+    flat: list = []
+    for w in words_per_doc:
+        flat.extend(w)
+    ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    uh = np.fromiter((_h64(w.encode("utf-8", "ignore")) for w in uniq),
+                     dtype=np.uint64, count=len(uniq))
+    wh = uh[codes.astype(np.int64)]
+    m = len(wh) - (n - 1)
+    if m <= 0:
+        return empty
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        acc += wh[j: j + m] * mults[j]
+    gram = _mix64(acc)
+    valid = ids[:m] == ids[n - 1:]
+    if not valid.any():
+        return empty
+    return pd.DataFrame({
+        "gram": gram[valid].view(np.int64),
+        "doc_id": ids[:m][valid],
+    }).drop_duplicates()
+
+
 def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
                         id_col: str = "doc_id", text_col: str = "text"
                         ) -> pd.DataFrame:
@@ -1672,56 +1715,74 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
     distinct n-gram with any benchmark document, with its count of
     distinct shared n-grams, sorted by doc_id.
 
-    Scale shape (mirrors the module's keyed-shuffle discipline):
+    Scale shape — the small side is BROADCAST, the corpus never
+    shuffles:
 
-    - Per batch, words hash once per UNIQUE word (blake2b via
-      :func:`_h64`; vocab ≪ tokens), n-grams combine the word hashes
-      with positional multipliers + splitmix64 — one vectorized pass, no
-      per-gram Python. (doc, gram) rows are pre-deduped in the batch
-      (the combiner), so a doc repeating a gram ships it once.
-    - Grams coarse-partition on ``gram % n_parts`` — every copy of a
-      gram lands in one part; the bench⋈corpus semi-join is ONE
-      vectorized isin per part, never a raw ``groupby(gram)`` (10^11
-      distinct grams at 100 TB = 10^11 tiny groups otherwise).
-    - Only per-part (doc, count) partials reach the driver — bounded by
-      contaminated docs × parts, not corpus size.
+    - Pass 1 computes the benchmark set's distinct gram hashes (bench
+      docs only) and collects them to one sorted uint64 array — eval
+      suites are tiny relative to the corpus (the whole point of
+      decontamination), so this is a few MB where the corpus is TBs.
+    - Pass 2 is ONE shuffle-free ``map_batches`` over the corpus:
+      per-doc distinct grams → ``np.searchsorted`` against the
+      ``ray.put`` bench array → per-doc hit counts, complete within the
+      batch (a doc's grams never leave its row). Measured: the earlier
+      all-grams keyed-shuffle formulation went superlinear at 4× docs
+      (3.1 s → 32.1 s, linearity 2.6); this one ships zero gram rows.
+    - Fallback: if the bench set exceeds
+      ``NGRAM_BENCH_BROADCAST_BYTES``, the original coarse-partition
+      keyed-shuffle semi-join runs instead (``gram % n_parts``, every
+      copy of a gram in one part, vectorized isin per part — never a raw
+      ``groupby(gram)``).
 
     Grams are compared as 64-bit hashes: a false share needs a blake2b+
     splitmix collision (~n²/2⁶⁴ — negligible, and absent at oracle
     scale, where the DuckDB oracle joins on the gram STRINGS)."""
-    n_parts = _coarse_n_parts()
+    import ray
+
     mults = _pos_mults(n)
+    empty_out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_shared": pd.Series([], dtype="int64")})
+
+    def bench_grams_of_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[id_col] % bench_mod == 0]
+        dg = _doc_gram_hashes(sub, n, mults, id_col, text_col)
+        return pd.DataFrame(
+            {"gram": pd.Series(pd.unique(dg["gram"]), dtype="int64")})
+
+    bench_pdf = docs_ds.map_batches(
+        bench_grams_of_batch, batch_format="pandas").to_pandas()
+    bench = np.unique(bench_pdf["gram"].to_numpy(np.int64))  # sorted
+    if len(bench) == 0:
+        return empty_out
+
+    if bench.nbytes <= NGRAM_BENCH_BROADCAST_BYTES:
+        bench_ref = ray.put(bench)
+
+        def count_shared(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df[id_col] % bench_mod != 0]
+            dg = _doc_gram_hashes(sub, n, mults, id_col, text_col)
+            if dg.empty:
+                return empty_out
+            b = ray.get(bench_ref)
+            g = dg["gram"].to_numpy()
+            pos = np.searchsorted(b, g)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == g)
+            docs, counts = np.unique(dg["doc_id"].to_numpy()[hit],
+                                     return_counts=True)
+            return pd.DataFrame({"doc_id": docs,
+                                 "n_shared": counts.astype("int64")})
+
+        pdf = docs_ds.map_batches(count_shared,
+                                  batch_format="pandas").to_pandas()
+        if pdf.empty:
+            return empty_out
+        return pdf.sort_values("doc_id").reset_index(drop=True)
+
+    # ---- fallback: bench set too large to broadcast — keyed shuffle
+    n_parts = _coarse_n_parts()
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        words_per_doc = [t.split(" ") for t in df[text_col]]
-        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                           count=len(words_per_doc))
-        flat: list = []
-        for w in words_per_doc:
-            flat.extend(w)
-        ids = np.repeat(df[id_col].to_numpy(np.int64), lens)
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        uh = np.fromiter((_h64(w.encode("utf-8", "ignore")) for w in uniq),
-                         dtype=np.uint64, count=len(uniq))
-        wh = uh[codes.astype(np.int64)]
-        m = len(wh) - (n - 1)
-        empty = pd.DataFrame({"gram": pd.Series([], dtype="int64"),
-                              "doc_id": pd.Series([], dtype="int64"),
-                              "bench": pd.Series([], dtype="bool"),
-                              "part": pd.Series([], dtype="int64")})
-        if m <= 0:
-            return empty
-        acc = np.zeros(m, dtype=np.uint64)
-        for j in range(n):
-            acc += wh[j: j + m] * mults[j]
-        gram = _mix64(acc)
-        valid = ids[:m] == ids[n - 1:]
-        if not valid.any():
-            return empty
-        out = pd.DataFrame({
-            "gram": gram[valid].view(np.int64),
-            "doc_id": ids[:m][valid],
-        }).drop_duplicates()
+        out = _doc_gram_hashes(df, n, mults, id_col, text_col)
         out["bench"] = (out["doc_id"] % bench_mod == 0)
         out["part"] = (out["gram"].to_numpy().view(np.uint64)
                        % np.uint64(n_parts)).astype("int64")
@@ -1731,8 +1792,7 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
         bench_grams = g.loc[g["bench"], "gram"].unique()
         cand = g[~g["bench"] & g["gram"].isin(bench_grams)]
         if cand.empty:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "n_shared": pd.Series([], dtype="int64")})
+            return empty_out
         cand = cand.drop_duplicates(["doc_id", "gram"])
         out = cand.groupby("doc_id", as_index=False).size()
         return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
@@ -1745,8 +1805,7 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
         .to_pandas()
     )
     if pdf.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "n_shared": pd.Series([], dtype="int64")})
+        return empty_out
     out = pdf.groupby("doc_id", as_index=False)["n_shared"].sum()
     out["n_shared"] = out["n_shared"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
