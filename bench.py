@@ -463,7 +463,7 @@ def run_bigsf() -> dict:
     from zeno_ray.ops.relational import (asof_join_events, events_funnel,
                                          events_retention, value_quantiles)
     from zeno_ray.ops.sketch import hll_distinct
-    from zeno_ray.ops.text import repetition_features, top_tokens
+    from zeno_ray.ops.text import lm_score, repetition_features, top_tokens
 
     warm_cluster(ncpus)
 
@@ -522,6 +522,8 @@ def run_bigsf() -> dict:
             docs, columns=["doc_id", "text"])
             .map_batches(repetition_features, batch_format="pandas",
                          batch_size=4096).count())
+        timed("doc_lm_score", lambda: lm_score(
+            rd.read_parquet(docs, columns=["doc_id", "text"])))
         timed("doc_decontaminate", lambda: ngram_decontaminate(
             rd.read_parquet(docs, columns=["doc_id", "text"])))
         timed("events_retention", lambda: events_retention(sf_dir))

@@ -774,3 +774,44 @@ def test_ngram_decontaminate_shuffle_fallback_matches_broadcast(ray_session, mon
     got = dd.ngram_decontaminate(rd.from_items(docs), n=5, bench_mod=29)
     pd.testing.assert_frame_equal(got, want)
     assert 3 in set(got["doc_id"])
+
+
+# ------------------------------------------------- unigram LM score
+
+
+def test_lm_score_matches_duckdb(ray_session):
+    import duckdb
+
+    from zeno_ray.ops.text import lm_score
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = lm_score(rd.read_parquet(path, columns=["doc_id", "text"]))
+    want = duckdb.sql(f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM read_parquet('{path}')),
+        cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+        tot AS (SELECT SUM(c)::DOUBLE AS t FROM cnt)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(LN(c / t)), 6) AS lm_score
+        FROM tok JOIN cnt USING (token), tot
+        GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert np.allclose(got["lm_score"], want["lm_score"], atol=1.1e-6)
+    # scores are negative log-probs of a self-trained unigram model
+    assert (got["lm_score"] < 0).all()
+
+
+def test_lm_score_oov_and_vocab_cap(ray_session):
+    """With the vocabulary capped below the true vocab, dropped tokens
+    score as oov_count occurrences — still deterministic and finite."""
+    from zeno_ray.ops.text import lm_score
+
+    rows = [{"doc_id": i, "text": "common common rare%d" % i}
+            for i in range(50)]
+    out = lm_score(rd.from_items(rows), vocab_size=1, oov_count=1)
+    assert len(out) == 50
+    assert np.isfinite(out["lm_score"]).all()
+    # every doc has the same token profile (2x top-vocab word + 1 OOV)
+    assert out["lm_score"].nunique() == 1

@@ -412,3 +412,103 @@ def tfidf_top_terms(docs_ds, k: int = 5):
         .map_groups(score_in_part, batch_format="pandas")
     )
     return top_k_per_group(scored, "source", "score", k=k, id_col="token")
+
+
+def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
+    """CCNet-style unigram LM quality score: each doc's mean log
+    probability of its tokens under a unigram model trained on the
+    corpus itself (Wenzek et al. 2020 score docs with a KenLM model and
+    keep the head of the distribution; the unigram variant is the
+    sandbox-faithful stand-in — same two-pass shape, no external model).
+    Lower (more negative) = rarer vocabulary = the tail a quality filter
+    drops.
+
+    Scale shape:
+
+    - **Train pass** reuses the :func:`top_tokens` combiner discipline:
+      per-batch (token, n) partials, coarse-partitioned on
+      ``hash(token) % n_parts`` (never a raw token groupby — Heaps'-law
+      vocabularies make that a 10^8-string-key sort), keeping the
+      per-part top-``vocab_size`` by count; the global top-V and the
+      exact corpus token total come from those partials. V counts
+      broadcast via ``ray.put`` as a sorted hash table.
+    - **Score pass** is ONE shuffle-free ``map_batches``: factorize the
+      batch's tokens, one searchsorted per UNIQUE token against the
+      broadcast vocab, per-doc mean via bincount — complete within the
+      batch.
+    - Tokens outside the kept vocabulary score as ``oov_count``
+      occurrences (singleton probability by default) — at sandbox scale
+      the full vocabulary fits, so there is no OOV and the result
+      exactly matches the closed-form SQL (DuckDB-verified in
+      ``test_lm_score_matches_duckdb``).
+
+    Returns a pandas DataFrame (doc_id, n_tokens, lm_score) sorted by
+    doc_id; lm_score is ROUND-half-away(mean ln p, 6) to match DuckDB.
+
+    Token semantics: single-space split, empty pieces count (the
+    module-wide SQL-matchable convention)."""
+    import ray
+
+    from zeno_ray.ops.dedup import _coarse_n_parts
+
+    n_parts = _coarse_n_parts()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        toks = vc.index.astype(str)
+        return pd.DataFrame({
+            "token": toks,
+            "n": vc.to_numpy().astype(np.int64),
+            "part": (pd.util.hash_array(toks.to_numpy(dtype=object))
+                     % np.uint64(n_parts)).astype(np.int64),
+        })
+
+    partials = docs_ds.map_batches(partial, batch_format="pandas",
+                                   batch_size=8192).materialize()
+    total = int(partials.sum("n"))
+
+    def part_topv(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False, as_index=False)["n"].sum()
+        s = s.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(vocab_size)
+        return s[["token", "n"]]
+
+    vocab = (partials.groupby("part")
+             .map_groups(part_topv, batch_format="pandas")
+             .to_pandas()
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable")
+             .head(vocab_size))
+    th = pd.util.hash_array(vocab["token"].to_numpy(dtype=object))
+    order = np.argsort(th, kind="stable")
+    ref = ray.put((th[order], vocab["n"].to_numpy(np.int64)[order], total))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        words_per_doc = [t.split(" ") for t in df["text"]]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        flat: list = []
+        for w in words_per_doc:
+            flat.extend(w)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        h_sorted, cnts, t = ray.get(ref)
+        uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        pos = np.searchsorted(h_sorted, uh)
+        safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
+        hit = (pos < len(h_sorted)) & (h_sorted[safe] == uh)
+        uc = np.where(hit, cnts[safe], oov_count).astype(np.float64)
+        per_tok = np.log(uc / t)[codes]
+        ids = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        sums = np.bincount(ids, weights=per_tok, minlength=len(df))
+        mean = sums / np.maximum(lens, 1)
+        # ROUND half-AWAY-from-zero (DuckDB semantics; scores are negative)
+        rounded = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5), mean) / 1e6
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": lens,
+            "lm_score": rounded,
+        })
+
+    pdf = docs_ds.map_batches(score, batch_format="pandas",
+                              batch_size=4096).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
