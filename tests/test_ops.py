@@ -815,3 +815,31 @@ def test_lm_score_oov_and_vocab_cap(ray_session):
     assert np.isfinite(out["lm_score"]).all()
     # every doc has the same token profile (2x top-vocab word + 1 OOV)
     assert out["lm_score"].nunique() == 1
+
+
+# ------------------------------------------------- composed pipeline
+
+
+def test_webtext_refine_end_to_end(ray_session, tmp_path):
+    from zeno_ray.pipelines import webtext_refine
+    from zeno_ray.sinks import partitioned_dataset
+
+    out = str(tmp_path / "refined")
+    stats = webtext_refine("/root/testdata/sf0.001", out, n_shards=4,
+                           quality_min=0.85, lm_keep_frac=0.9)
+    # monotone funnel
+    assert stats["input"] >= stats["after_quality"] \
+        >= stats["after_repetition"] >= stats["after_lm"] \
+        >= stats["after_dedup"] >= stats["after_decontaminate"] > 0
+    # every stage did something on this corpus... at minimum the LM gate
+    assert stats["after_lm"] <= stats["after_repetition"]
+    # the shards hold exactly the final survivors, once each
+    back = partitioned_dataset(out).to_pandas()
+    assert len(back) == stats["after_decontaminate"]
+    assert back["doc_id"].is_unique
+    # rerun resumes: all shards sealed, nothing rewritten
+    stats2 = webtext_refine("/root/testdata/sf0.001", out, n_shards=4,
+                            quality_min=0.85, lm_keep_frac=0.9)
+    assert not stats2["shards"]["written"]
+    assert sorted(stats2["shards"]["skipped"]) == sorted(
+        stats["shards"]["written"])

@@ -216,3 +216,116 @@ def host_stats(corpus_dir: str):
         .aggregate(Sum("n_pages", alias_name="n_pages"),
                    Sum("n_bytes", alias_name="n_bytes"))
     )
+
+
+def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
+                   quality_min: float = 0.85, top_word_frac_max: float = 0.3,
+                   lm_keep_frac: float = 0.9, resume: bool = True) -> dict:
+    """The composed webtext pipeline — documents in, training shards out.
+    One call chains the engine's training-data stages the way a real
+    corpus refresh runs them (CCNet / Gopher / GPT-3 order):
+
+    1. **quality gate** (closed-form score ≥ *quality_min*) and
+       **repetition gate** (Gopher top-word fraction ≤
+       *top_word_frac_max*) — both shuffle-free map_batches filters;
+    2. **LM gate**: keep the best *lm_keep_frac* of survivors by
+       unigram LM score (CCNet-style head of the distribution; the
+       threshold is the exact distributed quantile of the scores);
+    3. **exact dedup** (hash-partition first-wins);
+    4. **decontamination** (word-5-gram overlap vs the benchmark set —
+       contaminated docs dropped);
+    5. **shuffled shard export** through the resumable sink.
+
+    Each stage consumes the previous stage's surviving doc_ids as a
+    broadcast filter (ray.put once — the id sets shrink monotonically),
+    so the text column is re-read from Parquet per stage but never
+    shuffled until the final shard sort. Returns per-stage survivor
+    counts plus the sink result.
+
+    Not on the driver query surface (50-query cap); e2e-tested in
+    tests/test_ops.py::test_webtext_refine_end_to_end."""
+    import numpy as np
+    import ray
+
+    from zeno_ray.ops.dedup import exact_dedup, ngram_decontaminate
+    from zeno_ray.ops.pack import shuffle_shard_export
+    from zeno_ray.ops.text import (lm_score, quality_features,
+                                   repetition_features)
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def docs(columns):
+        return rd.read_parquet(docs_path, columns=columns)
+
+    stats: dict = {"input": docs(["doc_id"]).count()}
+
+    # 1. quality + repetition gates (one pass each, no shuffle)
+    def qual_ids(df):
+        q = quality_features(df)
+        keep = np.floor(q["quality"].to_numpy() * 10000 + 0.5) / 10000
+        return q.loc[keep >= quality_min, ["doc_id"]]
+
+    q_ids = docs(["doc_id", "text"]).map_batches(
+        qual_ids, batch_format="pandas").to_pandas()["doc_id"].to_numpy()
+    q_ids.sort()
+    stats["after_quality"] = len(q_ids)
+    q_ref = ray.put(q_ids)
+
+    def rep_ids(df):
+        mask = np.isin(df["doc_id"].to_numpy(), ray.get(q_ref))
+        r = repetition_features(df[mask])
+        return r.loc[r["top_word_frac"] <= top_word_frac_max, ["doc_id"]]
+
+    r_ids = docs(["doc_id", "text"]).map_batches(
+        rep_ids, batch_format="pandas").to_pandas()["doc_id"].to_numpy()
+    r_ids.sort()
+    stats["after_repetition"] = len(r_ids)
+    r_ref = ray.put(r_ids)
+
+    # 2. LM gate on the survivors
+    def survivors(df):
+        return df[np.isin(df["doc_id"].to_numpy(), ray.get(r_ref))]
+
+    surv_ds = docs(["doc_id", "text"]).map_batches(
+        survivors, batch_format="pandas")
+    scores = lm_score(surv_ds)
+    cutoff = np.quantile(scores["lm_score"].to_numpy(),
+                         1.0 - lm_keep_frac) if len(scores) else 0.0
+    lm_ids = scores.loc[scores["lm_score"].to_numpy() >= cutoff,
+                        "doc_id"].to_numpy()
+    lm_ids.sort()
+    stats["after_lm"] = len(lm_ids)
+    lm_ref = ray.put(lm_ids)
+
+    def lm_survivors(df):
+        return df[np.isin(df["doc_id"].to_numpy(), ray.get(lm_ref))]
+
+    # 3. exact dedup on the survivors
+    kept = exact_dedup(docs(["doc_id", "text"]).map_batches(
+        lm_survivors, batch_format="pandas")).to_pandas()
+    dd_ids = kept["doc_id"].to_numpy()
+    dd_ids.sort()
+    stats["after_dedup"] = len(dd_ids)
+    dd_ref = ray.put(dd_ids)
+
+    def dd_survivors(df):
+        return df[np.isin(df["doc_id"].to_numpy(), ray.get(dd_ref))]
+
+    # 4. decontamination: drop survivors sharing grams with the benchmark
+    contaminated = ngram_decontaminate(docs(["doc_id", "text"]).map_batches(
+        dd_survivors, batch_format="pandas"))
+    bad = set(contaminated["doc_id"].tolist())
+    final_ids = np.array([i for i in dd_ids if i not in bad], dtype=np.int64)
+    stats["after_decontaminate"] = len(final_ids)
+    f_ref = ray.put(final_ids)
+
+    def final_survivors(df):
+        return df[np.isin(df["doc_id"].to_numpy(), ray.get(f_ref))]
+
+    # 5. shuffled shard export of the surviving documents
+    sink = shuffle_shard_export(
+        docs(["doc_id", "text", "lang", "source"]).map_batches(
+            final_survivors, batch_format="pandas"),
+        out_dir, n_shards=n_shards, resume=resume)
+    stats["shards"] = sink
+    return stats
