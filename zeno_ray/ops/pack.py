@@ -222,8 +222,8 @@ def pack_export(docs_ds, out_dir: str, context_len: int = 2048,
     def make(key: str):
         k = int(key)
         lo, hi = k * packs_per_partition, (k + 1) * packs_per_partition
-        return chunks.filter(
-            lambda row, lo=lo, hi=hi: lo <= row["pack_id"] < hi)
+        # expression filter: vectorized Arrow predicate per partition
+        return chunks.filter(expr=f"pack_id >= {lo} and pack_id < {hi}")
 
     return write_partitioned(make, out_dir,
                              [str(k) for k in range(n_ranges)],
@@ -288,8 +288,9 @@ def shuffle_shard_export(docs_ds, out_dir: str, n_shards: int = 8,
     ds = docs_ds.map_batches(keyed, batch_format="pandas").materialize()
 
     def make(skey: str):
-        k = int(skey)
-        return (ds.filter(lambda row, k=k: row["shard"] == k)
+        # expression filter: vectorized Arrow predicate, not a
+        # per-row Python lambda
+        return (ds.filter(expr=f"shard == {int(skey)}")
                 .sort("shuffle_key")
                 .drop_columns(["shard"]))
 
