@@ -279,6 +279,19 @@ def run_bench() -> dict:
     events_retention(sf_dir)
     queries["events_retention"] = round(time.perf_counter() - t, 3)
 
+    # the composed documents->training-shards pipeline (quality +
+    # repetition + LM gates, dedup, decontamination, shard export)
+    import shutil as _shutil
+
+    from zeno_ray.pipelines import webtext_refine
+
+    _wt_out = "/tmp/rayzeno_bench/webtext_refine"
+    _shutil.rmtree(_wt_out, ignore_errors=True)
+    t = time.perf_counter()
+    webtext_refine(sf_dir, _wt_out, n_shards=8)
+    queries["webtext_refine"] = round(time.perf_counter() - t, 3)
+    _shutil.rmtree(_wt_out, ignore_errors=True)
+
     t = time.perf_counter()
     lineitem_agg(sf_dir)
     queries["lineitem_agg"] = round(time.perf_counter() - t, 3)
@@ -524,6 +537,18 @@ def run_bigsf() -> dict:
                          batch_size=4096).count())
         timed("doc_lm_score", lambda: lm_score(
             rd.read_parquet(docs, columns=["doc_id", "text"])))
+
+        def _refine():
+            import shutil as _shutil
+
+            from zeno_ray.pipelines import webtext_refine
+
+            out_dir = f"/tmp/rayzeno_bench/bigsf_refine_{tag}"
+            _shutil.rmtree(out_dir, ignore_errors=True)
+            webtext_refine(sf_dir, out_dir, n_shards=8)
+            _shutil.rmtree(out_dir, ignore_errors=True)
+
+        timed("webtext_refine", _refine)
         timed("doc_decontaminate", lambda: ngram_decontaminate(
             rd.read_parquet(docs, columns=["doc_id", "text"])))
         timed("events_retention", lambda: events_retention(sf_dir))

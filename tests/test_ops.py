@@ -826,7 +826,7 @@ def test_webtext_refine_end_to_end(ray_session, tmp_path):
 
     out = str(tmp_path / "refined")
     stats = webtext_refine("/root/testdata/sf0.001", out, n_shards=4,
-                           quality_min=0.85, lm_keep_frac=0.9)
+                           quality_keep_frac=0.6, lm_keep_frac=0.9)
     # monotone funnel
     assert stats["input"] >= stats["after_quality"] \
         >= stats["after_repetition"] >= stats["after_lm"] \
@@ -839,7 +839,7 @@ def test_webtext_refine_end_to_end(ray_session, tmp_path):
     assert back["doc_id"].is_unique
     # rerun resumes: all shards sealed, nothing rewritten
     stats2 = webtext_refine("/root/testdata/sf0.001", out, n_shards=4,
-                            quality_min=0.85, lm_keep_frac=0.9)
+                            quality_keep_frac=0.6, lm_keep_frac=0.9)
     assert not stats2["shards"]["written"]
     assert sorted(stats2["shards"]["skipped"]) == sorted(
         stats["shards"]["written"])

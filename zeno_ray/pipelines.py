@@ -219,18 +219,20 @@ def host_stats(corpus_dir: str):
 
 
 def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
-                   quality_min: float = 0.85, top_word_frac_max: float = 0.3,
+                   quality_keep_frac: float = 0.6,
+                   top_word_frac_max: float = 0.3,
                    lm_keep_frac: float = 0.9, resume: bool = True) -> dict:
     """The composed webtext pipeline — documents in, training shards out.
     One call chains the engine's training-data stages the way a real
     corpus refresh runs them (CCNet / Gopher / GPT-3 order):
 
-    1. **quality gate** (closed-form score ≥ *quality_min*) and
+    1. **quality gate**: keep the best *quality_keep_frac* by the
+       closed-form quality score (quantile cutoff — fraction-based so
+       the gate adapts to any corpus's score distribution) and
        **repetition gate** (Gopher top-word fraction ≤
-       *top_word_frac_max*) — both shuffle-free map_batches filters;
+       *top_word_frac_max*) — both shuffle-free map_batches passes;
     2. **LM gate**: keep the best *lm_keep_frac* of survivors by
-       unigram LM score (CCNet-style head of the distribution; the
-       threshold is the exact distributed quantile of the scores);
+       unigram LM score (CCNet-style head of the distribution);
     3. **exact dedup** (hash-partition first-wins);
     4. **decontamination** (word-5-gram overlap vs the benchmark set —
        contaminated docs dropped);
@@ -239,8 +241,11 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     Each stage consumes the previous stage's surviving doc_ids as a
     broadcast filter (ray.put once — the id sets shrink monotonically),
     so the text column is re-read from Parquet per stage but never
-    shuffled until the final shard sort. Returns per-stage survivor
-    counts plus the sink result.
+    shuffled until the final shard sort. Quantile cutoffs are computed
+    driver-side over per-doc score rows (at 10^9+ docs swap in the
+    distributed ``value_quantiles`` read-off). Returns per-stage
+    survivor counts plus the sink result; an empty survivor set at any
+    stage short-circuits with zeroed downstream counts.
 
     Not on the driver query surface (50-query cap); e2e-tested in
     tests/test_ops.py::test_webtext_refine_end_to_end."""
@@ -258,28 +263,48 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
         return rd.read_parquet(docs_path, columns=columns)
 
     stats: dict = {"input": docs(["doc_id"]).count()}
+    _STAGES = ["after_quality", "after_repetition", "after_lm",
+               "after_dedup", "after_decontaminate"]
 
-    # 1. quality + repetition gates (one pass each, no shuffle)
-    def qual_ids(df):
+    def short_circuit(done_through: str) -> dict:
+        for k in _STAGES[_STAGES.index(done_through):]:
+            stats.setdefault(k, 0)
+        stats["shards"] = {"written": [], "skipped": []}
+        return stats
+
+    def ids_of(pdf) -> "np.ndarray":
+        if len(pdf) == 0 or "doc_id" not in pdf.columns:
+            return np.array([], dtype=np.int64)
+        out = pdf["doc_id"].to_numpy(np.int64)
+        out.sort()
+        return out
+
+    # 1a. quality gate: fraction kept by quantile of the score
+    def qscore(df):
         q = quality_features(df)
-        keep = np.floor(q["quality"].to_numpy() * 10000 + 0.5) / 10000
-        return q.loc[keep >= quality_min, ["doc_id"]]
+        return q[["doc_id", "quality"]]
 
-    q_ids = docs(["doc_id", "text"]).map_batches(
-        qual_ids, batch_format="pandas").to_pandas()["doc_id"].to_numpy()
-    q_ids.sort()
+    qscores = docs(["doc_id", "text"]).map_batches(
+        qscore, batch_format="pandas").to_pandas()
+    q_cut = np.quantile(qscores["quality"].to_numpy(),
+                        1.0 - quality_keep_frac) if len(qscores) else 0.0
+    q_ids = ids_of(qscores[qscores["quality"] >= q_cut])
     stats["after_quality"] = len(q_ids)
+    if not len(q_ids):
+        return short_circuit("after_quality")
     q_ref = ray.put(q_ids)
 
+    # 1b. repetition gate on the survivors
     def rep_ids(df):
         mask = np.isin(df["doc_id"].to_numpy(), ray.get(q_ref))
         r = repetition_features(df[mask])
         return r.loc[r["top_word_frac"] <= top_word_frac_max, ["doc_id"]]
 
-    r_ids = docs(["doc_id", "text"]).map_batches(
-        rep_ids, batch_format="pandas").to_pandas()["doc_id"].to_numpy()
-    r_ids.sort()
+    r_ids = ids_of(docs(["doc_id", "text"]).map_batches(
+        rep_ids, batch_format="pandas").to_pandas())
     stats["after_repetition"] = len(r_ids)
+    if not len(r_ids):
+        return short_circuit("after_repetition")
     r_ref = ray.put(r_ids)
 
     # 2. LM gate on the survivors
@@ -291,10 +316,10 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     scores = lm_score(surv_ds)
     cutoff = np.quantile(scores["lm_score"].to_numpy(),
                          1.0 - lm_keep_frac) if len(scores) else 0.0
-    lm_ids = scores.loc[scores["lm_score"].to_numpy() >= cutoff,
-                        "doc_id"].to_numpy()
-    lm_ids.sort()
+    lm_ids = ids_of(scores[scores["lm_score"] >= cutoff])
     stats["after_lm"] = len(lm_ids)
+    if not len(lm_ids):
+        return short_circuit("after_lm")
     lm_ref = ray.put(lm_ids)
 
     def lm_survivors(df):
@@ -303,9 +328,10 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     # 3. exact dedup on the survivors
     kept = exact_dedup(docs(["doc_id", "text"]).map_batches(
         lm_survivors, batch_format="pandas")).to_pandas()
-    dd_ids = kept["doc_id"].to_numpy()
-    dd_ids.sort()
+    dd_ids = ids_of(kept)
     stats["after_dedup"] = len(dd_ids)
+    if not len(dd_ids):
+        return short_circuit("after_dedup")
     dd_ref = ray.put(dd_ids)
 
     def dd_survivors(df):
@@ -317,6 +343,8 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     bad = set(contaminated["doc_id"].tolist())
     final_ids = np.array([i for i in dd_ids if i not in bad], dtype=np.int64)
     stats["after_decontaminate"] = len(final_ids)
+    if not len(final_ids):
+        return short_circuit("after_decontaminate")
     f_ref = ray.put(final_ids)
 
     def final_survivors(df):
