@@ -473,12 +473,14 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
                           kind="stable").head(vocab_size)
         return s[["token", "n"]]
 
+    # global top-V selected IN the cluster (sort over ≤ parts×V rows,
+    # limit V) — the driver receives exactly V rows, never the full
+    # Heaps'-law vocabulary
     vocab = (partials.groupby("part")
              .map_groups(part_topv, batch_format="pandas")
-             .to_pandas()
-             .sort_values(["n", "token"], ascending=[False, True],
-                          kind="stable")
-             .head(vocab_size))
+             .sort(["n", "token"], descending=[True, False])
+             .limit(vocab_size)
+             .to_pandas())
     th = pd.util.hash_array(vocab["token"].to_numpy(dtype=object))
     order = np.argsort(th, kind="stable")
     ref = ray.put((th[order], vocab["n"].to_numpy(np.int64)[order], total))
