@@ -272,6 +272,13 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
         stats["shards"] = {"written": [], "skipped": []}
         return stats
 
+    def in_sorted(values, sorted_arr):
+        # membership against a SORTED id array via searchsorted — avoids
+        # np.isin re-sorting the broadcast set for every batch
+        pos = np.searchsorted(sorted_arr, values)
+        safe = np.minimum(pos, max(len(sorted_arr) - 1, 0))
+        return (pos < len(sorted_arr)) & (sorted_arr[safe] == values)
+
     def ids_of(pdf) -> "np.ndarray":
         if len(pdf) == 0 or "doc_id" not in pdf.columns:
             return np.array([], dtype=np.int64)
@@ -296,7 +303,7 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
 
     # 1b. repetition gate on the survivors
     def rep_ids(df):
-        mask = np.isin(df["doc_id"].to_numpy(), ray.get(q_ref))
+        mask = in_sorted(df["doc_id"].to_numpy(), ray.get(q_ref))
         r = repetition_features(df[mask])
         return r.loc[r["top_word_frac"] <= top_word_frac_max, ["doc_id"]]
 
@@ -309,7 +316,7 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
 
     # 2. LM gate on the survivors
     def survivors(df):
-        return df[np.isin(df["doc_id"].to_numpy(), ray.get(r_ref))]
+        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(r_ref))]
 
     surv_ds = docs(["doc_id", "text"]).map_batches(
         survivors, batch_format="pandas")
@@ -323,7 +330,7 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     lm_ref = ray.put(lm_ids)
 
     def lm_survivors(df):
-        return df[np.isin(df["doc_id"].to_numpy(), ray.get(lm_ref))]
+        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(lm_ref))]
 
     # 3. exact dedup on the survivors
     kept = exact_dedup(docs(["doc_id", "text"]).map_batches(
@@ -335,7 +342,7 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     dd_ref = ray.put(dd_ids)
 
     def dd_survivors(df):
-        return df[np.isin(df["doc_id"].to_numpy(), ray.get(dd_ref))]
+        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(dd_ref))]
 
     # 4. decontamination: drop survivors sharing grams with the benchmark
     contaminated = ngram_decontaminate(docs(["doc_id", "text"]).map_batches(
@@ -348,7 +355,7 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     f_ref = ray.put(final_ids)
 
     def final_survivors(df):
-        return df[np.isin(df["doc_id"].to_numpy(), ray.get(f_ref))]
+        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(f_ref))]
 
     # 5. shuffled shard export of the surviving documents
     sink = shuffle_shard_export(
