@@ -561,3 +561,19 @@ def test_main_content_stage_batch(ray_session):
     assert len(out) == len(rows)
     assert (out["main_chars"] > 0).all()
     assert ((out["boiler_frac"] >= 0) & (out["boiler_frac"] <= 1)).all()
+
+
+def test_main_content_edge_cases():
+    from zeno_ray.extract.boiler import main_content
+
+    assert main_content("") == ""
+    assert main_content("just bare text, no tags at all") == \
+        "just bare text, no tags at all"
+    # unclosed tags / stray close tags must not crash html.parser
+    assert "prose" in main_content("<p>some prose<div><a href=x>l</a>")
+    assert main_content("</p></div>nonsense<p>real words here</p>") \
+        .endswith("real words here")
+    # a pure link farm yields nothing
+    assert main_content(
+        "<ul>" + "".join(f"<li><a href='/{i}'>go {i}</a></li>"
+                         for i in range(20)) + "</ul>") == ""
