@@ -255,6 +255,14 @@ def run_bench() -> dict:
     events_funnel(sf_dir)
     queries["events_funnel"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.sketch import count_min_heavy_hitters
+
+    t = time.perf_counter()
+    count_min_heavy_hitters(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"]), "user_id", k=20)
+    queries["events_heavy_hitters"] = round(time.perf_counter() - t, 3)
+
     t = time.perf_counter()
     hll_distinct(rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                  columns=["event_type", "user_id"]),
@@ -528,6 +536,11 @@ def run_bigsf() -> dict:
         timed("events_distinct_hll", lambda: hll_distinct(
             rd.read_parquet(evts, columns=["event_type", "user_id"]),
             "event_type", "user_id").count())
+
+        from zeno_ray.ops.sketch import count_min_heavy_hitters
+
+        timed("events_heavy_hitters", lambda: count_min_heavy_hitters(
+            rd.read_parquet(evts, columns=["user_id"]), "user_id", k=20))
         timed("events_asof", lambda: asof_join_events(sf_dir))
         timed("events_funnel", lambda: events_funnel(sf_dir))
         timed("events_quantiles", lambda: value_quantiles(sf_dir))

@@ -843,3 +843,44 @@ def test_webtext_refine_end_to_end(ray_session, tmp_path):
     assert not stats2["shards"]["written"]
     assert sorted(stats2["shards"]["skipped"]) == sorted(
         stats["shards"]["written"])
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_count_min_heavy_hitters_matches_exact(ray_session):
+    from zeno_ray.ops.sketch import (count_min_heavy_hitters,
+                                     count_min_sequential)
+
+    rng = np.random.RandomState(5)
+    # zipf-ish: value v appears ~ 3000/(v+1) times
+    vals = np.repeat(np.arange(50), (3000 / (np.arange(50) + 1)).astype(int))
+    rng.shuffle(vals)
+    rows = [{"v": int(v)} for v in vals]
+    got = count_min_heavy_hitters(rd.from_items(rows), "v", k=10)
+    want = count_min_sequential(vals, k=10)
+    assert got["v"].tolist() == want["value"].tolist()
+    assert got["est_count"].tolist() == want["n"].tolist()  # exact on skew
+
+
+def test_count_min_overestimates_only(ray_session):
+    from zeno_ray.ops.sketch import _cms_build, _cms_query
+
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 5000, size=20000)
+    sk = _cms_build(vals, width=512, depth=4)  # tight width -> collisions
+    uniq, true = np.unique(vals, return_counts=True)
+    est = _cms_query(sk, uniq)
+    assert (est >= true).all()  # one-sided error, always
+    # and the bound is useful: mean overestimate ~ N/width
+    assert (est - true).mean() <= 4 * len(vals) / 512
+
+
+def test_count_min_batching_invariant(ray_session):
+    from zeno_ray.ops.sketch import count_min_heavy_hitters
+
+    rows = [{"v": i % 37} for i in range(11000)]
+    a = count_min_heavy_hitters(rd.from_items(rows).repartition(2), "v", k=5)
+    b = count_min_heavy_hitters(rd.from_items(rows).repartition(13), "v", k=5)
+    assert a["v"].tolist() == b["v"].tolist()
+    assert a["est_count"].tolist() == b["est_count"].tolist()

@@ -114,3 +114,107 @@ def hll_distinct_sequential(values_by_group: dict, p: int = 12) -> dict:
     estimate — must match the distributed result exactly."""
     return {g: _estimate(_registers(np.asarray(v), p))
             for g, v in values_by_group.items()}
+
+
+# ---------------------------------------------------- count-min sketch
+
+_CMS_ROW_SALT = np.array([
+    0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+    0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D], dtype=np.uint64)
+
+
+def _cms_indices(h: np.ndarray, d: int, width: int) -> np.ndarray:
+    """Row-d bucket index per value hash — an independent-per-row mix of
+    the shared 64-bit value hash (odd-salt multiply + xor-shift), mod
+    width. Pure function ⇒ the sketch is batching-order independent."""
+    x = h * _CMS_ROW_SALT[d % len(_CMS_ROW_SALT)]
+    x = x ^ (x >> np.uint64(29))
+    return (x % np.uint64(width)).astype(np.int64)
+
+
+def _cms_build(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """depth×width uint64 count matrix for one value array (with
+    multiplicity — this sketches COUNTS, not distincts)."""
+    sk = np.zeros((depth, width), dtype=np.uint64)
+    h = _hash64(values)
+    for d in range(depth):
+        np.add.at(sk[d], _cms_indices(h, d, width), 1)
+    return sk
+
+
+def _cms_query(sk: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) for each value — always ≥ the
+    true count (one-sided error ≤ e·N/width w.p. 1-e^-depth)."""
+    h = _hash64(values)
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.uint64)
+    for d in range(sk.shape[0]):
+        np.minimum(est, sk[d][_cms_indices(h, d, sk.shape[1])], out=est)
+    return est.astype(np.int64)
+
+
+def count_min_heavy_hitters(ds, col: str, k: int = 20, width: int = 2048,
+                            depth: int = 4, candidate_factor: int = 4):
+    """Approximate top-k most frequent values ("heavy hitters") of *col*
+    — the hot-key / frequent-URL / dominant-template detector a webtext
+    pipeline runs before salting or down-sampling. The 100-TB shape:
+
+    - each batch emits ONE depth×width uint64 Count-Min blob (Cormode &
+      Muthukrishnan 2005) plus its local top-``candidate_factor·k``
+      values with exact local counts — data rows never move;
+    - blobs merge by elementwise SUM (associative + commutative ⇒ the
+      merged sketch is bit-identical to a sequential build, independent
+      of batching); candidates merge by summing their exact local
+      counts (a candidate's summed local count is its true global count
+      whenever it made the local list in every batch it appears in);
+    - each candidate's final count is max(summed local counts, none) —
+      conservative — and the CMS point query (min over rows, always ≥
+      true count) ranks any candidate the local lists undercounted.
+
+    Driver traffic: batches × (1 blob + 4k candidate rows). A true
+    top-k value missing from the result requires it to miss the local
+    top-4k list in some batch AND collide in all `depth` sketch rows —
+    the standard CMS guarantee (error ≤ e·N/width per row).
+
+    Returns a pandas DataFrame (value, est_count) of the top-k by
+    (est_count desc, value asc), deterministic."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].to_numpy()
+        sk = _cms_build(vals, width, depth)
+        vc = pd.Series(vals).value_counts().head(candidate_factor * k)
+        return pd.DataFrame({
+            "blob": [sk.tobytes()],
+            "cand_vals": [vc.index.to_numpy()],
+            "cand_counts": [vc.to_numpy().astype(np.int64)],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({col: [], "est_count": pd.Series([], dtype="int64")})
+    sk = np.zeros((depth, width), dtype=np.uint64)
+    for blob in parts["blob"]:
+        sk += np.frombuffer(blob, np.uint64).reshape(depth, width)
+    cand = pd.DataFrame({
+        "value": np.concatenate(parts["cand_vals"].to_list()),
+        "n": np.concatenate(parts["cand_counts"].to_list()),
+    }).groupby("value", sort=False, as_index=False)["n"].sum()
+    cms_est = _cms_query(sk, cand["value"].to_numpy())
+    cand["est_count"] = np.maximum(cand["n"].to_numpy(), 0)
+    cand["est_count"] = np.maximum(cand["est_count"], cms_est)
+    out = cand.sort_values(["est_count", "value"],
+                           ascending=[False, True], kind="stable").head(k)
+    return pd.DataFrame({col: out["value"].to_numpy(),
+                         "est_count": out["est_count"].astype("int64")}) \
+        .reset_index(drop=True)
+
+
+def count_min_sequential(values: np.ndarray, k: int, width: int = 2048,
+                         depth: int = 4) -> pd.DataFrame:
+    """Driver-side reference: exact counts ranked, with the same
+    tie-break — the semantic oracle for the distributed sketch."""
+    vc = pd.Series(values).value_counts()
+    df = pd.DataFrame({"value": vc.index.to_numpy(),
+                       "n": vc.to_numpy().astype(np.int64)})
+    return df.sort_values(["n", "value"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
