@@ -884,3 +884,22 @@ def test_count_min_batching_invariant(ray_session):
     b = count_min_heavy_hitters(rd.from_items(rows).repartition(13), "v", k=5)
     assert a["v"].tolist() == b["v"].tolist()
     assert a["est_count"].tolist() == b["est_count"].tolist()
+
+
+def test_bottom_k_sample_matches_duckdb(ray_session):
+    import duckdb
+
+    from zeno_ray.ops.text import bottom_k_sample
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    got = bottom_k_sample(
+        rd.read_parquet(path, columns=["doc_id"]), k=25).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS prio
+        FROM read_parquet('{path}') ORDER BY prio LIMIT 25
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # rerun is identical (deterministic sample)
+    again = bottom_k_sample(
+        rd.read_parquet(path, columns=["doc_id"]), k=25).to_pandas()
+    assert again["doc_id"].tolist() == got["doc_id"].tolist()

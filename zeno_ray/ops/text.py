@@ -514,3 +514,34 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
     pdf = docs_ds.map_batches(score, batch_format="pandas",
                               batch_size=4096).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def bottom_k_sample(docs_ds, k: int = 100, id_col: str = "doc_id"):
+    """Deterministic uniform k-sample: keep the k rows with the smallest
+    md5(id) priority — the classic "bottom-k by hash" sample (a uniform
+    random sample under a fixed pseudo-random priority, reproducible
+    across runs/engines, composable: the union of two tables' bottom-k
+    sets contains the union's bottom-k). Complements
+    :func:`stratified_sample` (per-stratum rates) with a global
+    fixed-size sample.
+
+    Scale shape: per-batch local bottom-k (the combiner) → ONE
+    distributed sort over ≤ batches×k priority rows → limit k. The
+    priority is ``md5(CAST(id AS VARCHAR))`` so DuckDB reproduces the
+    selection exactly (``ORDER BY md5(id::VARCHAR) LIMIT k`` — verified
+    in test_bottom_k_sample_matches_duckdb)."""
+    import hashlib
+
+    def local_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        prio = np.array([hashlib.md5(str(int(i)).encode()).hexdigest()
+                         for i in ids], dtype=object)
+        out = pd.DataFrame({id_col: ids, "prio": prio})
+        return out.sort_values("prio", kind="stable").head(k)
+
+    return (
+        docs_ds.map_batches(local_bottom, batch_format="pandas",
+                            batch_size=8192)
+        .sort("prio")
+        .limit(k)
+    )
