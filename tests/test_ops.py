@@ -903,3 +903,38 @@ def test_bottom_k_sample_matches_duckdb(ray_session):
     again = bottom_k_sample(
         rd.read_parquet(path, columns=["doc_id"]), k=25).to_pandas()
     assert again["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_dedup_keep_best_picks_quality_not_min_id(ray_session):
+    from zeno_ray.ops.dedup import dedup_keep_best, minhash_dedup
+    from zeno_ray.ops.text import quality_features
+
+    base = ("a perfectly ordinary training document about data "
+            "pipelines and engines that is long enough to shingle")
+    rows = [
+        # cluster A: doc 0 is punct-heavy (low quality), doc 7 is clean
+        {"doc_id": 0, "text": base + " !!!;;;;,,,???!!!;;;;,,,???"},
+        {"doc_id": 7, "text": base + " extra words"},
+        # singleton
+        {"doc_id": 3, "text": "something entirely different and unrelated "
+                              "to the first family of documents here"},
+    ]
+    ds = rd.from_items(rows)
+    out = dedup_keep_best(ds, jaccard_threshold=0.5)
+    assert len(out) == 3
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    cl = dict(zip(out["doc_id"], out["cluster"]))
+    assert cl[0] == cl[7] != cl[3]          # the near-dups clustered
+    assert keep[7] and not keep[0]          # best quality wins, not min id
+    assert keep[3]                          # singleton keeps itself
+    # exactly one keeper per cluster, and flags agree with a brute pick
+    q = quality_features(pd.DataFrame(rows))
+    labels = minhash_dedup(rd.from_items(rows),
+                           jaccard_threshold=0.5).to_pandas()
+    merged = labels.merge(q[["doc_id", "quality", "n_chars"]], on="doc_id")
+    for c, g in merged.groupby("cluster"):
+        g = g.sort_values(["quality", "n_chars", "doc_id"],
+                          ascending=[False, False, True])
+        want_keep = int(g.iloc[0]["doc_id"])
+        assert keep[want_keep]
+        assert sum(keep[d] for d in g["doc_id"]) == 1

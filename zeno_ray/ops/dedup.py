@@ -1870,3 +1870,82 @@ def exact_dedup_incremental(new_docs_ds, prior_hashes_ds,
         .groupby("part")
         .map_groups(survivors_in_part, batch_format="pandas")
     )
+
+
+# ------------------------------------------- cluster representative pick
+
+
+def dedup_keep_best(docs_ds, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    jaccard_threshold: float = 0.8) -> pd.DataFrame:
+    """Near-dup removal keeping the BEST document per cluster rather
+    than the lowest id — what a production pipeline actually ships
+    (e.g. keep the longest / highest-quality copy of a boilerplate
+    family). Clusters come from :func:`minhash_dedup`; the
+    representative is the cluster member with the highest
+    (quality, n_chars, -doc_id) key — deterministic total order.
+
+    Returns (doc_id, cluster, quality, keep): every doc with its
+    cluster label and a ``keep`` flag (True for exactly one doc per
+    cluster).
+
+    Scale shape: cluster labels (from minhash_dedup) and per-doc
+    quality (shuffle-free map_batches over the text) are both SLIM
+    (doc_id, …) projections — the text column never crosses a shuffle.
+    They meet in one union'd keyed shuffle on ``doc_id % n_parts``
+    (vectorized merge per part), then the representative pick is a
+    second coarse shuffle on ``cluster % n_parts`` (every member of a
+    cluster in one part) with ONE vectorized sort + drop_duplicates per
+    part — the exact_dedup discipline, never a raw groupby(cluster)."""
+    from zeno_ray.ops.text import quality_features
+
+    n_parts = _coarse_n_parts()
+    labels = minhash_dedup(docs_ds, jaccard_threshold=jaccard_threshold)
+
+    def label_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "cluster": df["cluster"].astype("int64"),
+            "quality": np.zeros(len(df)),
+            "n_chars": np.zeros(len(df), dtype=np.int64),
+            "side": np.zeros(len(df), dtype=np.int8),
+            "part": (df[id_col].to_numpy() % n_parts).astype("int64"),
+        })
+
+    def quality_side(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_features(df)
+        return pd.DataFrame({
+            id_col: q[id_col].astype("int64"),
+            "cluster": np.zeros(len(q), dtype=np.int64),
+            "quality": q["quality"],
+            "n_chars": q["n_chars"].astype("int64"),
+            "side": np.ones(len(q), dtype=np.int8),
+            "part": (q[id_col].to_numpy() % n_parts).astype("int64"),
+        })
+
+    def join_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["side"] == 0][[id_col, "cluster"]]
+        qs = g[g["side"] == 1][[id_col, "quality", "n_chars"]]
+        m = lab.merge(qs, on=id_col, how="inner")
+        m["part"] = (m["cluster"].to_numpy() % n_parts).astype("int64")
+        return m
+
+    def best_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "quality", "n_chars", id_col],
+                          ascending=[True, False, False, True],
+                          kind="stable")
+        winners = g.drop_duplicates("cluster", keep="first")[[id_col]]
+        g = g.copy()
+        g["keep"] = g[id_col].isin(winners[id_col]).to_numpy()
+        return g[[id_col, "cluster", "quality", "keep"]]
+
+    pdf = (
+        labels.map_batches(label_side, batch_format="pandas")
+        .union(docs_ds.map_batches(quality_side, batch_format="pandas"))
+        .groupby("part")
+        .map_groups(join_in_part, batch_format="pandas")
+        .groupby("part")
+        .map_groups(best_in_part, batch_format="pandas")
+        .to_pandas()
+    )
+    return pdf.sort_values(id_col).reset_index(drop=True)
