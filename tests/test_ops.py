@@ -938,3 +938,32 @@ def test_dedup_keep_best_picks_quality_not_min_id(ray_session):
         want_keep = int(g.iloc[0]["doc_id"])
         assert keep[want_keep]
         assert sum(keep[d] for d in g["doc_id"]) == 1
+
+
+def test_resample_to_mixture_hits_target(ray_session):
+    from zeno_ray.ops.text import resample_to_mixture
+
+    rng = np.random.RandomState(13)
+    langs = ["en"] * 6000 + ["zh"] * 1500 + ["es"] * 2500
+    rows = [{"doc_id": i, "lang": l} for i, l in enumerate(langs)]
+    sampled, rates = resample_to_mixture(
+        rd.from_items(rows), {"en": 0.5, "zh": 0.2, "es": 0.3})
+    # zh is the binding stratum: all 1500 kept, N* = 7500
+    assert rates["zh"] == 1.0
+    out = sampled.to_pandas()["lang"].value_counts()
+    # composition within sampling noise of 50/20/30
+    total = out.sum()
+    assert abs(out["en"] / total - 0.5) < 0.03
+    assert abs(out["zh"] / total - 0.2) < 0.03
+    assert abs(out["es"] / total - 0.3) < 0.03
+    # deterministic: rerun identical
+    s2, r2 = resample_to_mixture(
+        rd.from_items(rows), {"en": 0.5, "zh": 0.2, "es": 0.3})
+    assert r2 == rates
+    assert s2.to_pandas()["doc_id"].tolist() == \
+        sampled.to_pandas()["doc_id"].tolist()
+    # unlisted strata are dropped entirely
+    rows.append({"doc_id": 99999, "lang": "xx"})
+    s3, _ = resample_to_mixture(
+        rd.from_items(rows), {"en": 0.5, "zh": 0.2, "es": 0.3})
+    assert "xx" not in set(s3.to_pandas()["lang"])

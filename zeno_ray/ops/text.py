@@ -545,3 +545,34 @@ def bottom_k_sample(docs_ds, k: int = 100, id_col: str = "doc_id"):
         .sort("prio")
         .limit(k)
     )
+
+
+def resample_to_mixture(docs_ds, target_fracs: dict[str, float],
+                        strata_col: str = "lang"):
+    """Rebalance a corpus toward a target language/source mixture by
+    DOWN-sampling over-represented strata — the mixture-building step
+    (e.g. "the training set should be 50% en / 20% zh / 30% rest").
+
+    Rates are derived, not guessed: one tiny ``groupby(strata_col)``
+    count (strata-sized result), then the largest feasible total N* such
+    that every stratum can meet its target share by downsampling alone
+    (``N* = min over strata of count_s / frac_s``), giving
+    ``rate_s = frac_s · N* / count_s ≤ 1``. Strata absent from
+    *target_fracs* are dropped (rate 0). The sampling itself is
+    :func:`stratified_sample` — the deterministic Knuth-hash filter:
+    shuffle-free, SQL-reproducible, stable across partitionings.
+
+    Returns (sampled_ds, rates) so callers can log / oracle the derived
+    rates. Expected composition approaches the target exactly as counts
+    grow (rate quantization is 1/10000)."""
+    counts = {r[strata_col]: r["count()"] for r in
+              docs_ds.groupby(strata_col).count().take_all()}
+    feasible = [counts[s] / f for s, f in target_fracs.items()
+                if f > 0 and counts.get(s)]
+    if not feasible:
+        return docs_ds.filter(expr="1 = 0"), {}
+    n_star = min(feasible)
+    rates = {s: min(1.0, f * n_star / counts[s])
+             for s, f in target_fracs.items() if counts.get(s)}
+    return (stratified_sample(docs_ds, rates, default_rate=0.0,
+                              strata_col=strata_col), rates)
