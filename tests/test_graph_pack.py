@@ -575,3 +575,26 @@ def test_shuffle_shard_export_deterministic_and_resumable(ray_session, tmp_path)
     r2 = shuffle_shard_export(docs, out, n_shards=8)
     assert r2["written"] == ["3"]
     assert partitioned_dataset(out).count() == n_docs
+
+
+def test_hits_matches_sequential_and_semantics(ray_session):
+    from zeno_ray.ops.graph import hits, hits_sequential
+
+    # bipartite-ish: hubs h0,h1 point at authorities a0..a2; a0 gets
+    # an extra in-link from a stray node
+    pairs = [("h0", "a0"), ("h0", "a1"), ("h0", "a2"),
+             ("h1", "a0"), ("h1", "a1"),
+             ("x", "a0"), ("a2", "h0"),
+             ("h0", "a0")]  # duplicate edge must collapse
+    got = hits(rd.from_items([{"src": s, "dst": d} for s, d in pairs]),
+               n_iter=25)
+    want = hits_sequential(pairs, n_iter=25)
+    got = got.sort_values("node").reset_index(drop=True)
+    want = want.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert np.allclose(got["hub"], want["hub"], atol=1e-8)
+    assert np.allclose(got["authority"], want["authority"], atol=1e-8)
+    # semantics: h0 is the best hub; a0 the best authority
+    by = got.set_index("node")
+    assert by["hub"].idxmax() == "h0"
+    assert by["authority"].idxmax() == "a0"

@@ -600,3 +600,140 @@ def pagerank_sequential(edge_pairs, n_iter: int = 10,
         insum = np.bincount(dst, weights=contrib, minlength=n)
         rank = (1.0 - d) / n + d * (dangling / n) + d * insum
     return dict(zip(nodes, rank))
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def hits(edges_ds, n_iter: int = 20, n_parts: int | None = None,
+         max_broadcast_nodes: int = 2_000_000):
+    """HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    Dataset (src, dst) — the link-analysis complement to PageRank: a
+    good *hub* links to good authorities, a good *authority* is linked
+    from good hubs. Duplicate edges collapse; L2 normalization per
+    half-step; returns a Dataset (node, hub, authority).
+
+    Execution is the :func:`pagerank` broadcast discipline (the
+    host-graph regime this op exists for — node count ≪ edge count):
+    dedupe-shuffle the edges once, factorize to a loop-invariant
+    int-edge table, then per iteration run TWO shuffle-free
+    ``map_batches`` passes (authority pull then hub pull) with the
+    current vector ``ray.put`` and sparse bincount partials reduced on
+    the driver. Edge bytes never move after the initial dedupe. Node
+    counts beyond *max_broadcast_nodes* raise — at that scale use the
+    keyed-shuffle iteration pattern of ``pagerank``'s large path (two
+    repartition-joins per iteration), which HITS composes identically.
+    """
+    import ray as _ray
+
+    if n_parts is None:
+        from zeno_ray.ops.dedup import _coarse_n_parts
+
+        n_parts = _coarse_n_parts()
+
+    def edge_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "dst"]].drop_duplicates()
+        return out.assign(part=_part(out["src"], n_parts))
+
+    edges = (
+        edges_ds.map_batches(edge_part, batch_format="pandas",
+                             batch_size=16384)
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates(["src", "dst"]),
+                    batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": pd.unique(
+            np.concatenate([df["src"].to_numpy(object),
+                            df["dst"].to_numpy(object)]))})
+
+    node_pdf = (edges.map_batches(node_partial, batch_format="pandas")
+                .to_pandas().drop_duplicates("node")
+                .sort_values("node", kind="stable").reset_index(drop=True))
+    n = len(node_pdf)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=object),
+                             "hub": pd.Series([], dtype="float64"),
+                             "authority": pd.Series([], dtype="float64")})
+    if n > max_broadcast_nodes:
+        raise ValueError(
+            f"hits(): {n} nodes exceeds the broadcast bound "
+            f"({max_broadcast_nodes}); compose the pagerank keyed-shuffle "
+            "iteration for graphs past driver memory")
+
+    idx = pd.Series(np.arange(n, dtype=np.int64),
+                    index=node_pdf["node"].to_numpy(object))
+    idx_ref = _ray.put(idx)
+
+    def to_ids(df: pd.DataFrame) -> pd.DataFrame:
+        ii = _ray.get(idx_ref)
+        return pd.DataFrame({
+            "s": ii.reindex(df["src"].to_numpy(object)).to_numpy(np.int64),
+            "t": ii.reindex(df["dst"].to_numpy(object)).to_numpy(np.int64),
+        })
+
+    ie = edges.map_batches(to_ids, batch_format="pandas",
+                           batch_size=1 << 20).materialize()
+
+    def _sparse(vec: np.ndarray) -> pd.DataFrame:
+        nz = np.nonzero(vec)[0]
+        return pd.DataFrame({"ids": [nz.astype(np.int64).tobytes()],
+                             "w": [vec[nz].astype(np.float64).tobytes()]})
+
+    def _reduce(parts: pd.DataFrame) -> np.ndarray:
+        acc = np.zeros(n)
+        for row in parts.itertuples(index=False):
+            acc[np.frombuffer(row.ids, np.int64)] += np.frombuffer(row.w)
+        return acc
+
+    def _pull(vec: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+        vec_ref = _ray.put(vec)
+
+        def part_fn(df: pd.DataFrame, vec_ref=vec_ref) -> pd.DataFrame:
+            v = _ray.get(vec_ref)
+            return _sparse(np.bincount(
+                df[dst_col].to_numpy(),
+                weights=v[df[src_col].to_numpy()], minlength=n))
+
+        out = _reduce(ie.map_batches(
+            part_fn, batch_format="pandas",
+            batch_size=1 << 20).to_pandas())
+        norm = np.linalg.norm(out)
+        return out / norm if norm > 0 else out
+
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.zeros(n)
+    for _ in range(n_iter):
+        auth = _pull(hub, "s", "t")   # authority ← sum of in-hub
+        hub = _pull(auth, "t", "s")   # hub ← sum of out-authority
+
+    return pd.DataFrame({
+        "node": node_pdf["node"],
+        "hub": np.round(hub, 8),
+        "authority": np.round(auth, 8),
+    })
+
+
+def hits_sequential(edge_pairs, n_iter: int = 20) -> pd.DataFrame:
+    """Driver-side numpy reference (the python oracle): same dedupe,
+    node order, normalization — must match :func:`hits` exactly."""
+    df = pd.DataFrame(edge_pairs, columns=["src", "dst"]).drop_duplicates()
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = df["src"].map(idx).to_numpy()
+    t = df["dst"].map(idx).to_numpy()
+    hub = np.full(n, 1.0 / np.sqrt(n))
+    auth = np.zeros(n)
+    for _ in range(n_iter):
+        auth = np.bincount(t, weights=hub[s], minlength=n)
+        na = np.linalg.norm(auth)
+        auth = auth / na if na > 0 else auth
+        hub = np.bincount(s, weights=auth[t], minlength=n)
+        nh = np.linalg.norm(hub)
+        hub = hub / nh if nh > 0 else hub
+    return pd.DataFrame({"node": nodes, "hub": np.round(hub, 8),
+                         "authority": np.round(auth, 8)})
