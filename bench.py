@@ -238,6 +238,17 @@ def run_bench() -> dict:
     ).count()
     queries["host_pagerank"] = round(time.perf_counter() - t, 3)
 
+    from zeno_ray.ops.graph import hits
+
+    t = time.perf_counter()
+    hits(
+        rd.read_parquet(os.path.join(cdir, "edges"),
+                        columns=["src", "dst", "kind"])
+        .map_batches(_host_pairs, batch_format="pyarrow", batch_size=65536),
+        n_iter=5,
+    )
+    queries["host_hits"] = round(time.perf_counter() - t, 3)
+
     from zeno_ray.ops.pack import pack_chunks
     from zeno_ray.ops.relational import asof_join_events, events_funnel
     from zeno_ray.ops.sketch import hll_distinct
