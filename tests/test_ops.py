@@ -967,3 +967,33 @@ def test_resample_to_mixture_hits_target(ray_session):
     s3, _ = resample_to_mixture(
         rd.from_items(rows), {"en": 0.5, "zh": 0.2, "es": 0.3})
     assert "xx" not in set(s3.to_pandas()["lang"])
+
+
+def test_weighted_bottom_k_matches_duckdb(ray_session):
+    import duckdb
+
+    from zeno_ray.ops.text import weighted_bottom_k_sample
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    got = weighted_bottom_k_sample(
+        rd.read_parquet(path, columns=["doc_id", "n_chars"]),
+        k=40, weight_col="n_chars").to_pandas()
+    want = duckdb.sql(f"""
+        SELECT doc_id,
+               -ln((hash(doc_id) + 0.5) / 18446744073709551616.0) / n_chars AS prio
+        FROM read_parquet('{path}') ORDER BY prio LIMIT 40
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_weighted_bottom_k_prefers_heavy_rows(ray_session):
+    from zeno_ray.ops.text import weighted_bottom_k_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=100): the heavy half
+    # must dominate the sample
+    rows = [{"doc_id": i, "w": 1} for i in range(500)] + \
+           [{"doc_id": 1000 + i, "w": 100} for i in range(500)]
+    out = weighted_bottom_k_sample(
+        rd.from_items(rows), k=100, weight_col="w").to_pandas()
+    heavy = (out["doc_id"] >= 1000).sum()
+    assert heavy >= 90

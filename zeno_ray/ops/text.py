@@ -576,3 +576,41 @@ def resample_to_mixture(docs_ds, target_fracs: dict[str, float],
              for s, f in target_fracs.items() if counts.get(s)}
     return (stratified_sample(docs_ds, rates, default_rate=0.0,
                               strata_col=strata_col), rates)
+
+
+def weighted_bottom_k_sample(docs_ds, k: int = 100,
+                             weight_col: str = "n_chars",
+                             id_col: str = "doc_id"):
+    """Weighted priority sampling (Efraimidis-Spirakis A-ES via
+    exponential clocks): keep the k rows with the smallest
+    ``-ln(u)/w`` where ``u = hash(id)/2^64`` — inclusion probability
+    rises with weight, selection is a pure function of (id, weight):
+    deterministic, partitioning-independent, composable.
+
+    The uniform comes from the murmur64 finalizer, bit-identical to
+    DuckDB's ``hash(BIGINT)`` (the sketch-module identity), so the SQL
+    ``ORDER BY -ln((hash(id)+0.5)/2^64)/w LIMIT k`` reproduces the selection
+    exactly (test_weighted_bottom_k_matches_duckdb).
+
+    Scale shape: per-batch local bottom-k combiner → one sort over
+    ≤ batches×k rows → limit k. Zero data shuffle."""
+    from zeno_ray.ops.sketch import _hash64
+
+    def local_bottom(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        w = df[weight_col].to_numpy(np.float64)
+        # +0.5 keeps u strictly inside (0,1) — hash(0) is 0 and ln(0)
+        # would blow up on both engines; the offset is computed in
+        # identical double arithmetic on the SQL side
+        u = (_hash64(ids).astype(np.float64) + 0.5) / 2.0**64
+        key = -np.log(u) / np.maximum(w, 1e-300)
+        out = pd.DataFrame({id_col: ids, weight_col: df[weight_col],
+                            "prio": key})
+        return out.sort_values("prio", kind="stable").head(k)
+
+    return (
+        docs_ds.map_batches(local_bottom, batch_format="pandas",
+                            batch_size=8192)
+        .sort("prio")
+        .limit(k)
+    )
