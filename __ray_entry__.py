@@ -215,25 +215,14 @@ def _q_doc_dedup_exact(sf_dir: str):
 
 
 def _q_doc_quality(sf_dir: str):
-    import ray.data as rd
-
-    from zeno_ray.ops.text import quality_features
-
-    _quiet()
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
-    pdf = (
-        docs.map_batches(quality_features, batch_format="pandas", batch_size=4096)
-        .to_pandas()[["doc_id", "n_chars", "n_tokens", "n_upper", "n_punct"]]
-    )
-    return pdf.sort_values("doc_id").reset_index(drop=True)
-
-
-def _q_doc_quality_filter(sf_dir: str):
-    """Quality-gated corpus selection — the training-data filter stage:
-    keep docs with composite quality ≥ 0.895 (splits the corpus roughly in half); returns (doc_id, quality).
-    Fully streaming map_batches + filter; SQL-oracle-checked because the
-    score formula is closed-form."""
+    """Quality metrics + the training-data gate in ONE query (merged with
+    the former doc_quality_filter so queries() fits the driver's 50-row
+    record cap — VERDICT r4 item 2): per-doc counting features, the
+    composite quality score (rounded half-AWAY to 4 places BEFORE the
+    threshold: DuckDB's round() is half-away while numpy's is half-even,
+    and the gate must match the SQL oracle's rounded comparison exactly),
+    and ``kept`` = the ≥0.895 filter verdict as int64."""
+    import numpy as np
     import ray.data as rd
 
     from zeno_ray.ops.text import quality_features
@@ -242,17 +231,15 @@ def _q_doc_quality_filter(sf_dir: str):
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
 
-    def score_and_filter(df):
-        out = quality_features(df)[["doc_id", "quality"]].copy()
-        # round half-AWAY to 4 places BEFORE the threshold: DuckDB's
-        # round() is half-away while numpy's is half-even, and the gate
-        # must match the SQL oracle's rounded comparison exactly
-        import numpy as np
-
+    def feats(df):
+        out = quality_features(df)[
+            ["doc_id", "n_chars", "n_tokens", "n_upper", "n_punct",
+             "quality"]].copy()
         out["quality"] = np.floor(out["quality"] * 10000 + 0.5) / 10000
-        return out[out["quality"] >= 0.895]
+        out["kept"] = (out["quality"] >= 0.895).astype("int64")
+        return out
 
-    pdf = docs.map_batches(score_and_filter, batch_format="pandas",
+    pdf = docs.map_batches(feats, batch_format="pandas",
                            batch_size=4096).to_pandas()
     pdf["doc_id"] = pdf["doc_id"].astype("int64")
     return pdf.sort_values("doc_id").reset_index(drop=True)
@@ -1049,7 +1036,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (driver tables)
         "doc_dedup_exact": _q_doc_dedup_exact,
         "doc_quality": _q_doc_quality,
-        "doc_quality_filter": _q_doc_quality_filter,
         "doc_lang_stats": _q_doc_lang_stats,
         "doc_token_totals": _q_doc_token_totals,
         "ann_topk": _q_ann_topk,
@@ -1093,9 +1079,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: real PPM/BMP/WAV/PPM-stream kernels (numpy/stdlib),
         # all three stages (image/audio/video) in one tagged result
         "mm_features": _q_mm_features,
-        # last on purpose: the round-3 driver recorded exactly 50 rows
-        # for 51 entries, silently dropping the final key — if that cap
-        # recurs, lose the pytest-covered enrichment demo, not mm_features
+        # exactly 50 entries: the driver records at most 50 rows (observed
+        # r3/r4) — doc_quality_filter was merged into doc_quality (a
+        # `kept` column) in r5 so enrich_pages finally gets a row too
         "enrich_pages": _q_enrich_pages,
     }
 
@@ -1318,21 +1304,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
             FROM documents) WHERE rn = 1 ORDER BY doc_id""",
         "doc_quality": """
-        SELECT doc_id,
-               length(text) AS n_chars,
-               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-               length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
-               length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-        FROM documents ORDER BY doc_id""",
-        "doc_quality_filter": """
         WITH q AS (
             SELECT doc_id,
                    length(text) AS n_chars,
                    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
                    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
             FROM documents),
         s AS (
-            SELECT doc_id,
+            SELECT *,
                    round(LEAST(GREATEST(
                        1.0
                        - (LEAST(GREATEST(
@@ -1343,7 +1323,9 @@ def oracle_sql() -> dict[str, str]:
                                0.5),
                    0.0), 1.0), 4) AS quality
             FROM q)
-        SELECT doc_id, quality FROM s WHERE quality >= 0.895 ORDER BY doc_id""",
+        SELECT doc_id, n_chars, n_tokens, n_upper, n_punct, quality,
+               CAST(quality >= 0.895 AS BIGINT) AS kept
+        FROM s ORDER BY doc_id""",
         "doc_lang_stats": """
         SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang ORDER BY lang""",

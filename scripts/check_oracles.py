@@ -471,8 +471,10 @@ def main():
     import ray
 
     if not ray.is_initialized():
+        import zeno_ray
+
         ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", runtime_env=zeno_ray.runtime_env())
     import __ray_entry__ as entry
 
     con = duckdb.connect()

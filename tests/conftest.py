@@ -5,6 +5,8 @@ import pytest
 def ray_session():
     import ray
 
+    import zeno_ray
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -12,6 +14,7 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            runtime_env=zeno_ray.runtime_env(),
         )
     yield
     ray.shutdown()

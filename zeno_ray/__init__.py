@@ -47,4 +47,71 @@ def _shim_fsspec_http() -> None:
         sys.modules["fsspec.implementations.http"] = mod
 
 
+def _patch_schema_dedup() -> None:
+    """Restore Ray Data's schema-dedup fast path under pyarrow 16.
+
+    ``pa.Schema.__hash__`` raises ``TypeError: unhashable type: 'dict'``
+    whenever the schema carries key/value metadata — and the ``b'pandas'``
+    blob is attached by every pandas-written parquet file and re-attached
+    by every ``batch_format="pandas"`` stage's arrow conversion.  Ray's
+    ``unify_schemas`` (ray/data/_internal/arrow_ops/transform_pyarrow.py)
+    tries ``len(set(schemas)) == 1`` as an early exit, so every block
+    merge over such schemas logs "Failed to hash the schemas (for
+    deduplication)" AND falls through to the expensive full unification.
+
+    Fix: dedupe on metadata-stripped schemas (hashable; metadata is
+    irrelevant to type unification) and return the stripped schema on the
+    fast path — which also makes downstream blocks metadata-free, so the
+    cleanup propagates.  Genuinely differing schemas delegate to the
+    original.  Rebinding the module attribute covers all callers: both
+    ``concat()`` (module-global lookup) and ``ray.data._internal.util``
+    (function-local import) resolve the name at call time.  Idempotent;
+    exported as :func:`apply_runtime_patches` for
+    ``ray.init(runtime_env={"worker_process_setup_hook": ...})`` so pure
+    read tasks (which never import zeno_ray) get it too.
+    """
+    try:
+        from ray.data._internal.arrow_ops import transform_pyarrow as _tp
+    except ImportError:  # ray absent / layout changed: patch is optional
+        return
+    if getattr(_tp.unify_schemas, "_rayzeno_patched", False):
+        return
+    _orig = _tp.unify_schemas
+
+    def unify_schemas(schemas, **kwargs):
+        try:
+            bare = {s.remove_metadata() for s in schemas}
+            if len(bare) == 1:
+                return bare.pop()
+        except Exception:
+            pass  # field-level metadata etc. — fall through to the original
+        return _orig(list(schemas), **kwargs)
+
+    unify_schemas._rayzeno_patched = True
+    _tp.unify_schemas = unify_schemas
+
+
+def apply_runtime_patches() -> None:
+    """Worker-process setup hook: apply zeno_ray's Ray runtime shims in a
+    worker that may never import the package otherwise (e.g. bare
+    ``ReadParquet`` tasks).  Pass as ``worker_process_setup_hook``."""
+    _shim_fsspec_http()
+    _patch_schema_dedup()
+
+
+def runtime_env() -> dict:
+    """``runtime_env`` for ``ray.init`` in sessions this repo owns (bench,
+    tests, scripts — never the driver's own session): ships the repo path
+    so the setup hook deserializes in bare workers, and installs
+    :func:`apply_runtime_patches` in every worker process."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    path = f"{root}{os.pathsep}{prev}" if prev else root
+    return {"env_vars": {"PYTHONPATH": path},
+            "worker_process_setup_hook": apply_runtime_patches}
+
+
 _shim_fsspec_http()
+_patch_schema_dedup()

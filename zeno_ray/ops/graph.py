@@ -611,21 +611,29 @@ def hits(edges_ds, n_iter: int = 20, n_parts: int | None = None,
     Dataset (src, dst) — the link-analysis complement to PageRank: a
     good *hub* links to good authorities, a good *authority* is linked
     from good hubs. Duplicate edges collapse; L2 normalization per
-    half-step; returns a Dataset (node, hub, authority).
+    half-step; returns a **pandas DataFrame** (node, hub, authority),
+    rounded to 8 decimals.
 
-    Execution is the :func:`pagerank` broadcast discipline (the
-    host-graph regime this op exists for — node count ≪ edge count):
-    dedupe-shuffle the edges once, factorize to a loop-invariant
-    int-edge table, then per iteration run TWO shuffle-free
-    ``map_batches`` passes (authority pull then hub pull) with the
-    current vector ``ray.put`` and sparse bincount partials reduced on
-    the driver. Edge bytes never move after the initial dedupe. Node
-    counts beyond *max_broadcast_nodes* raise — at that scale use the
-    keyed-shuffle iteration pattern of ``pagerank``'s large path (two
-    repartition-joins per iteration), which HITS composes identically.
-    """
-    import ray as _ray
+    Two execution paths, picked by node count (the :func:`pagerank`
+    split):
 
+    - ``n_nodes <= max_broadcast_nodes`` (the usual host-graph regime:
+      node count ≪ edge count): dedupe-shuffle the edges once,
+      factorize to a loop-invariant int-edge table, then per iteration
+      run TWO shuffle-free ``map_batches`` passes (authority pull then
+      hub pull) with the current vector ``ray.put`` and sparse bincount
+      partials reduced on the driver. Edge bytes never move after the
+      initial dedupe.
+    - bigger graphs: keyed-shuffle iterations composing pagerank's
+      large-graph repartition-join (``_hits_shuffle``) — fully
+      distributed raw hub/auth state, two repartition-joins per
+      half-step, ONE scalar (the L2 norm) of driver traffic per
+      half-step, result collected only at the end.
+
+    Both paths reduce float partials in partition/block order, so they
+    match :func:`hits_sequential` to summation-order error (~1e-15
+    relative; the tests assert ``atol=1e-8`` on the rounded values, not
+    bit equality)."""
     if n_parts is None:
         from zeno_ray.ops.dedup import _coarse_n_parts
 
@@ -644,26 +652,50 @@ def hits(edges_ds, n_iter: int = 20, n_parts: int | None = None,
         .repartition(n_parts)
         .materialize()
     )
+    n_edges = edges.count()
+    ideal = int(np.clip(n_edges // 20000 + 4, 4, n_parts))
+    if ideal < n_parts:
+        n_parts = ideal
+        edges = (
+            edges.map_batches(
+                lambda df: df.assign(part=_part(df["src"], n_parts)),
+                batch_format="pandas")
+            .repartition(n_parts).materialize())
 
+    # node universe, distributed (hash(node)-keyed) — counted BEFORE
+    # any driver-side collect so the >bound branch never materializes
+    # node names on the driver
     def node_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": pd.unique(
-            np.concatenate([df["src"].to_numpy(object),
-                            df["dst"].to_numpy(object)]))})
+        uniq = pd.unique(np.concatenate([df["src"].to_numpy(object),
+                                         df["dst"].to_numpy(object)]))
+        return pd.DataFrame({"node": uniq, "part": _part(uniq, n_parts)})
 
-    node_pdf = (edges.map_batches(node_partial, batch_format="pandas")
-                .to_pandas().drop_duplicates("node")
-                .sort_values("node", kind="stable").reset_index(drop=True))
-    n = len(node_pdf)
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: g.drop_duplicates("node"),
+                    batch_format="pandas")
+        .repartition(n_parts)
+        .materialize()
+    )
+    n = nodes.count()
     if n == 0:
         return pd.DataFrame({"node": pd.Series([], dtype=object),
                              "hub": pd.Series([], dtype="float64"),
                              "authority": pd.Series([], dtype="float64")})
     if n > max_broadcast_nodes:
-        raise ValueError(
-            f"hits(): {n} nodes exceeds the broadcast bound "
-            f"({max_broadcast_nodes}); compose the pagerank keyed-shuffle "
-            "iteration for graphs past driver memory")
+        return _hits_shuffle(edges, nodes, n, n_parts, n_iter)
+    return _hits_broadcast(edges, nodes, n, n_iter)
 
+
+def _hits_broadcast(edges, nodes, n: int, n_iter: int) -> pd.DataFrame:
+    """Small-node-count HITS path: driver-held hub/auth vectors,
+    shuffle-free bincount pulls over a loop-invariant int-edge table
+    (see :func:`hits`)."""
+    import ray as _ray
+
+    node_pdf = (nodes.to_pandas()[["node"]]
+                .sort_values("node", kind="stable").reset_index(drop=True))
     idx = pd.Series(np.arange(n, dtype=np.int64),
                     index=node_pdf["node"].to_numpy(object))
     idx_ref = _ray.put(idx)
@@ -715,6 +747,126 @@ def hits(edges_ds, n_iter: int = 20, n_parts: int | None = None,
         "hub": np.round(hub, 8),
         "authority": np.round(auth, 8),
     })
+
+
+def _hits_shuffle(edges, nodes, n: int, n_parts: int,
+                  n_iter: int) -> pd.DataFrame:
+    """Large-graph HITS: composes pagerank's keyed-shuffle
+    repartition-join iteration. State (node, part, hub, auth) stays
+    fully distributed across iterations; per half-step:
+
+    1. contribs: loop-invariant tagged edge table (keyed by hash of the
+       pull's join side) ⋈ the scaled state vector in ONE
+       groupby("part"), emitting per-part partial sums re-keyed by
+       hash(target node);
+    2. apply: a second groupby("part") reduces the partials AND joins
+       them onto state, replacing the pulled column with its raw sum;
+    3. ONE scalar (the L2 norm) returns to the driver; normalization is
+       folded into the NEXT emit and the final output — exactly the
+       scalar-per-iteration discipline of pagerank's dangling mass.
+
+    The authority pull joins on src (edge table keyed by hash(src));
+    the hub pull joins on dst (a second loop-invariant table keyed by
+    hash(dst)). Two edge tables materialized once, two coarse shuffles
+    per half-step, no whole-graph driver state until the final collect
+    (which callers at 10^8-node scale should replace by consuming the
+    slim (node, hub, auth) state as a Dataset)."""
+
+    def tag_edges(key_col: str, oth_col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[key_col].to_numpy(object)
+            return pd.DataFrame({
+                "part": _part(key, n_parts), "key": key,
+                "oth": df[oth_col].to_numpy(object),
+                "w": np.zeros(len(df), dtype="float64"),
+                "tag": np.zeros(len(df), dtype=np.int8)})
+        return f
+
+    e_src = edges.map_batches(tag_edges("src", "dst"),
+                              batch_format="pandas") \
+        .repartition(n_parts).materialize()
+    e_dst = edges.map_batches(tag_edges("dst", "src"),
+                              batch_format="pandas") \
+        .repartition(n_parts).materialize()
+
+    state = nodes.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"], "part": df["part"],
+            "hub": np.full(len(df), 1.0 / np.sqrt(n)),
+            "auth": np.zeros(len(df))}),
+        batch_format="pandas").repartition(n_parts).materialize()
+
+    def contribs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        rates = g[g["tag"] == 1][["key", "w"]]
+        ee = g[g["tag"] == 0][["key", "oth"]]
+        m = ee.merge(rates, on="key", how="inner")
+        m = m.sort_values("oth", kind="stable")
+        out = m.groupby("oth", as_index=False).agg(w=("w", "sum"))
+        k = len(out)
+        return pd.DataFrame({
+            "node": out["oth"], "part": _part(out["oth"], n_parts),
+            "hub": np.zeros(k), "auth": np.zeros(k),
+            "w": out["w"].astype("float64"),
+            "tag": np.ones(k, dtype=np.int8)})
+
+    def apply_pull(col: str):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            ins = g[g["tag"] == 1].sort_values("node", kind="stable")
+            sums = ins.groupby("node", as_index=False).agg(w=("w", "sum"))
+            st = g[g["tag"] == 0][["node", "part", "hub", "auth"]]
+            m = st.merge(sums, on="node", how="left")
+            m[col] = m["w"].fillna(0.0)
+            return m.sort_values("node", kind="stable")[
+                ["node", "part", "hub", "auth"]]
+        return f
+
+    def half(state, e_tab, from_col: str, to_col: str, from_norm: float):
+        emit = state.map_batches(
+            lambda df, c=from_col, nn=from_norm: pd.DataFrame({
+                "part": df["part"], "key": df["node"],
+                "oth": np.full(len(df), "", dtype=object),
+                "w": df[c].to_numpy() / nn,
+                "tag": np.ones(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+        partials = (
+            e_tab.union(emit)
+            .groupby("part")
+            .map_groups(contribs_in_part, batch_format="pandas"))
+        state_tagged = state.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"], "part": df["part"],
+                "hub": df["hub"], "auth": df["auth"],
+                "w": np.zeros(len(df), dtype="float64"),
+                "tag": np.zeros(len(df), dtype=np.int8)}),
+            batch_format="pandas")
+        new_state = (
+            state_tagged.union(partials)
+            .groupby("part")
+            .map_groups(apply_pull(to_col), batch_format="pandas")
+            .repartition(n_parts)  # bound block count per iteration
+            .materialize())        # (see the pagerank lineage note)
+        ss = new_state.map_batches(
+            lambda df, c=to_col: pd.DataFrame(
+                {"x": [float((df[c].to_numpy() ** 2).sum())]}),
+            batch_format="pandas").sum("x") or 0.0
+        norm = float(np.sqrt(ss))
+        # norm == 0 ⇒ leave the raw (all-zero) vector, like sequential
+        return new_state, (norm if norm > 0 else 1.0)
+
+    hub_norm = 1.0  # hub starts already normalized (1/sqrt(n))
+    auth_norm = 1.0
+    for _ in range(n_iter):
+        state, auth_norm = half(state, e_src, "hub", "auth", hub_norm)
+        state, hub_norm = half(state, e_dst, "auth", "hub", auth_norm)
+
+    out = state.map_batches(
+        lambda df, hn=hub_norm, an=auth_norm: pd.DataFrame({
+            "node": df["node"],
+            "hub": np.round(df["hub"].to_numpy() / hn, 8),
+            "authority": np.round(df["auth"].to_numpy() / an, 8)}),
+        batch_format="pandas")
+    return (out.to_pandas().sort_values("node", kind="stable")
+            .reset_index(drop=True))
 
 
 def hits_sequential(edge_pairs, n_iter: int = 20) -> pd.DataFrame:

@@ -289,10 +289,12 @@ def shuffle_shard_export(docs_ds, out_dir: str, n_shards: int = 8,
 
     def make(skey: str):
         # expression filter: vectorized Arrow predicate, not a
-        # per-row Python lambda
+        # per-row Python lambda; both internal columns are dropped
+        # after the sort so exported shards carry only user columns
+        # (readers re-derive the key from doc_id when verifying order)
         return (ds.filter(expr=f"shard == {int(skey)}")
                 .sort("shuffle_key")
-                .drop_columns(["shard"]))
+                .drop_columns(["shard", "shuffle_key"]))
 
     return write_partitioned(make, out_dir,
                              [str(k) for k in range(n_shards)],

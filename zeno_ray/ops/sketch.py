@@ -164,17 +164,22 @@ def count_min_heavy_hitters(ds, col: str, k: int = 20, width: int = 2048,
       values with exact local counts — data rows never move;
     - blobs merge by elementwise SUM (associative + commutative ⇒ the
       merged sketch is bit-identical to a sequential build, independent
-      of batching); candidates merge by summing their exact local
-      counts (a candidate's summed local count is its true global count
-      whenever it made the local list in every batch it appears in);
-    - each candidate's final count is max(summed local counts, none) —
-      conservative — and the CMS point query (min over rows, always ≥
-      true count) ranks any candidate the local lists undercounted.
+      of batching); the local top lists only NOMINATE candidates;
+    - each candidate's reported count is its merged-CMS point query
+      (min over depth rows) — always ≥ its true global count, with
+      equality unless the value collides in all ``depth`` rows (error
+      ≤ e·N/width per row, Cormode & Muthukrishnan 2005). Ranking is
+      purely CMS-based: the summed local counts are a LOWER bound on
+      the true count and can undercount (a batch where the value missed
+      the local list contributes 0), so they are never reported.
 
     Driver traffic: batches × (1 blob + 4k candidate rows). A true
-    top-k value missing from the result requires it to miss the local
-    top-4k list in some batch AND collide in all `depth` sketch rows —
-    the standard CMS guarantee (error ≤ e·N/width per row).
+    top-k value can be missing from the result only if it missed the
+    local top-4k list in EVERY batch it appears in — candidates are
+    drawn solely from the local lists; the sketch re-scores nominees,
+    it cannot resurrect a value no list nominated. With
+    ``candidate_factor·k`` local slots, that requires ≥ 4k distinct
+    values each locally more frequent than it in every single batch.
 
     Returns a pandas DataFrame (value, est_count) of the top-k by
     (est_count desc, value asc), deterministic."""
@@ -199,9 +204,10 @@ def count_min_heavy_hitters(ds, col: str, k: int = 20, width: int = 2048,
         "value": np.concatenate(parts["cand_vals"].to_list()),
         "n": np.concatenate(parts["cand_counts"].to_list()),
     }).groupby("value", sort=False, as_index=False)["n"].sum()
-    cms_est = _cms_query(sk, cand["value"].to_numpy())
-    cand["est_count"] = np.maximum(cand["n"].to_numpy(), 0)
-    cand["est_count"] = np.maximum(cand["est_count"], cms_est)
+    # CMS point query ≥ true count ≥ summed local counts, so the CMS
+    # estimate alone decides the ranking (the old max() with the local
+    # sums was dead code — ADVICE r4)
+    cand["est_count"] = _cms_query(sk, cand["value"].to_numpy())
     out = cand.sort_values(["est_count", "value"],
                            ascending=[False, True], kind="stable").head(k)
     return pd.DataFrame({col: out["value"].to_numpy(),
