@@ -315,6 +315,34 @@ def test_embedding_near_dup_finds_planted_pair(emb_ds):
     assert (10, 50) in pairs and (50, 10) in pairs
 
 
+def test_embedding_near_dup_adaptive_routes_through_lsh(emb_ds):
+    """Forcing the broadcast bound low must route embedding_near_dup
+    through the LSH scale path (VERDICT r4 item 3) and still satisfy the
+    same oracle bounds: every reported sim is the true cosine of its
+    pair, high true-NN agreement, planted pair found."""
+    from zeno_ray.ops.dedup import embedding_near_dup
+
+    ds, mat = emb_ds
+    # 200 rows > 10 ⇒ LSH path (use the query's pinned geometry: the
+    # count-adaptive default would pick more planes than 200 tiny
+    # vectors need)
+    out = embedding_near_dup(ds, threshold=0.0,
+                             max_broadcast_rows=10).to_pandas()
+    assert len(out) >= 0.95 * 200  # nearly every vector reports
+    n = mat.astype(np.float64)
+    n = n / np.linalg.norm(n, axis=1, keepdims=True)
+    sims = n @ n.T
+    np.fill_diagonal(sims, -np.inf)
+    for v, d, s in zip(out["vec_id"], out["dup_of"], out["sim"]):
+        assert abs(float(s) - sims[int(v), int(d)]) < 1e-4
+    true_nn = sims.argmax(1)
+    agree = np.mean([true_nn[int(v)] == int(d)
+                     for v, d in zip(out["vec_id"], out["dup_of"])])
+    assert agree >= 0.85
+    pairs = set(zip(out["vec_id"], out["dup_of"]))
+    assert (10, 50) in pairs and (50, 10) in pairs
+
+
 def test_quality_features_match_sql_semantics(docs_ds):
     from zeno_ray.ops.text import quality_features
 
@@ -997,3 +1025,26 @@ def test_weighted_bottom_k_prefers_heavy_rows(ray_session):
         rd.from_items(rows), k=100, weight_col="w").to_pandas()
     heavy = (out["doc_id"] >= 1000).sum()
     assert heavy >= 90
+
+
+def test_webtext_refine_semijoin_parity(ray_session, tmp_path):
+    """Forcing max_broadcast_ids=0 must route the export filter through
+    the hash-partitioned semi-join (the 10^9-doc path) and produce
+    byte-identical stats and shard contents."""
+    from zeno_ray.pipelines import webtext_refine
+    from zeno_ray.sinks import partitioned_dataset
+
+    a = str(tmp_path / "bcast")
+    b = str(tmp_path / "semijoin")
+    s1 = webtext_refine("/root/testdata/sf0.001", a, n_shards=4)
+    s2 = webtext_refine("/root/testdata/sf0.001", b, n_shards=4,
+                        max_broadcast_ids=0)
+    assert {k: v for k, v in s1.items() if k != "shards"} \
+        == {k: v for k, v in s2.items() if k != "shards"}
+    pa_ = partitioned_dataset(a).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pb = partitioned_dataset(b).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert pa_.equals(pb)
+    # no benchmark (doc_id % 29 == 0) docs may reach the training shards
+    assert not (pa_["doc_id"].to_numpy() % 29 == 0).any()

@@ -453,29 +453,43 @@ def parts_by_brand(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
-def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
-    """EXACT global order statistics of an unbounded float column via
-    the distributed sort — ``quantile_disc`` semantics (the element at
-    index ceil(q·n)−1 of the global order).
+def dataset_quantiles_disc(ds, col: str, qs) -> tuple[list[float], int]:
+    """EXACT global order statistics of an unbounded column via the
+    distributed sort — ``quantile_disc`` semantics (the element at index
+    ceil(q·n)−1 of the global order). Returns ``([values...], n)``.
 
     This is the range-partitioned all-to-all sort operator class: the
-    slim single-column projection is sorted once, per-block row counts
-    stream back (blocks × 1 rows), and each target rank is read with
+    slim projection is sorted once, per-block row counts stream back
+    (blocks × 1 rows), and each target rank is read with
     ``split_at_indices`` + ``take(1)`` — only the block containing the
     rank is touched, so driver traffic is O(blocks + len(qs)), never
-    the data. Complements ops.text.group_quantiles, whose histogram
-    trick is exact only for bounded ints."""
-    sorted_ds = _read(sf_dir, "events", columns=["value"]) \
-        .sort("value").materialize()
+    the data. This is the funnel-cutoff mechanism webtext_refine uses
+    in place of collecting per-doc scores to the driver."""
+    sorted_ds = ds.sort(col).materialize()
     n = sorted_ds.count()
-    row = {"n": n}
+    if n == 0:
+        return [float("nan") for _ in qs], 0
+    vals = []
     for q in qs:
         r = max(1, int(np.ceil(q * n))) - 1
         if r == 0:
-            val = sorted_ds.take(1)[0]["value"]
+            val = sorted_ds.take(1)[0][col]
         else:
-            val = sorted_ds.split_at_indices([r])[1].take(1)[0]["value"]
-        row[f"q{int(q * 100)}"] = round(float(val), 6)
+            val = sorted_ds.split_at_indices([r])[1].take(1)[0][col]
+        vals.append(float(val))
+    return vals, n
+
+
+def value_quantiles(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """EXACT global order statistics of events.value (see
+    :func:`dataset_quantiles_disc` for the mechanism). Complements
+    ops.text.group_quantiles, whose histogram trick is exact only for
+    bounded ints."""
+    vals, n = dataset_quantiles_disc(
+        _read(sf_dir, "events", columns=["value"]), "value", qs)
+    row = {"n": n}
+    for q, v in zip(qs, vals):
+        row[f"q{int(q * 100)}"] = round(v, 6)
     return pd.DataFrame([row])[["n"] + [f"q{int(q*100)}" for q in qs]]
 
 

@@ -447,6 +447,17 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
 
     Token semantics: single-space split, empty pieces count (the
     module-wide SQL-matchable convention)."""
+    model = lm_fit(docs_ds, vocab_size=vocab_size, oov_count=oov_count)
+    pdf = lm_score_ds(docs_ds, model).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def lm_fit(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
+    """Train pass of :func:`lm_score`, exposed separately so pipelines
+    can fit the unigram model on one corpus slice and score another (or
+    score lazily without collecting). Returns a ``ray.ObjectRef`` to the
+    broadcast model: (sorted token-hash table, counts, corpus total,
+    oov_count)."""
     import ray
 
     from zeno_ray.ops.dedup import _coarse_n_parts
@@ -483,7 +494,15 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
              .to_pandas())
     th = pd.util.hash_array(vocab["token"].to_numpy(dtype=object))
     order = np.argsort(th, kind="stable")
-    ref = ray.put((th[order], vocab["n"].to_numpy(np.int64)[order], total))
+    return ray.put((th[order], vocab["n"].to_numpy(np.int64)[order], total,
+                    oov_count))
+
+
+def lm_score_ds(docs_ds, model_ref):
+    """Score pass of :func:`lm_score` against a :func:`lm_fit` model:
+    ONE shuffle-free ``map_batches`` returning a slim LAZY Dataset
+    (doc_id, n_tokens, lm_score) — nothing collected to the driver."""
+    import ray
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         words_per_doc = [t.split(" ") for t in df["text"]]
@@ -493,7 +512,7 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
         for w in words_per_doc:
             flat.extend(w)
         codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        h_sorted, cnts, t = ray.get(ref)
+        h_sorted, cnts, t, oov_count = ray.get(model_ref)
         uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
         pos = np.searchsorted(h_sorted, uh)
         safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
@@ -511,9 +530,8 @@ def lm_score(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
             "lm_score": rounded,
         })
 
-    pdf = docs_ds.map_batches(score, batch_format="pandas",
-                              batch_size=4096).to_pandas()
-    return pdf.sort_values("doc_id").reset_index(drop=True)
+    return docs_ds.map_batches(score, batch_format="pandas",
+                               batch_size=4096)
 
 
 def bottom_k_sample(docs_ds, k: int = 100, id_col: str = "doc_id"):

@@ -221,7 +221,9 @@ def host_stats(corpus_dir: str):
 def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
                    quality_keep_frac: float = 0.6,
                    top_word_frac_max: float = 0.3,
-                   lm_keep_frac: float = 0.9, resume: bool = True) -> dict:
+                   lm_keep_frac: float = 0.9, resume: bool = True,
+                   bench_mod: int = 29,
+                   max_broadcast_ids: int = 100_000_000) -> dict:
     """The composed webtext pipeline — documents in, training shards out.
     One call chains the engine's training-data stages the way a real
     corpus refresh runs them (CCNet / Gopher / GPT-3 order):
@@ -232,29 +234,45 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
        **repetition gate** (Gopher top-word fraction ≤
        *top_word_frac_max*) — both shuffle-free map_batches passes;
     2. **LM gate**: keep the best *lm_keep_frac* of survivors by
-       unigram LM score (CCNet-style head of the distribution);
+       unigram LM score (CCNet-style head of the distribution; the
+       model is fit on the stage-1 survivors);
     3. **exact dedup** (hash-partition first-wins);
-    4. **decontamination** (word-5-gram overlap vs the benchmark set —
-       contaminated docs dropped);
+    4. **decontamination** (word-5-gram overlap vs the benchmark set):
+       the benchmark gram set is built from the FULL unfiltered corpus
+       — overlap with benchmark docs the earlier gates dropped must
+       still count — and benchmark documents themselves
+       (``doc_id % bench_mod == 0``) are excluded from the export
+       (shipping eval docs into training shards defeats the sweep);
     5. **shuffled shard export** through the resumable sink.
 
-    Each stage consumes the previous stage's surviving doc_ids as a
-    broadcast filter (ray.put once — the id sets shrink monotonically),
-    so the text column is re-read from Parquet per stage but never
-    shuffled until the final shard sort. Quantile cutoffs are computed
-    driver-side over per-doc score rows (at 10^9+ docs swap in the
-    distributed ``value_quantiles`` read-off). Returns per-stage
-    survivor counts plus the sink result; an empty survivor set at any
-    stage short-circuits with zeroed downstream counts.
+    **No driver-held funnel state** (VERDICT r4 item 5): the quantile
+    cutoffs come from the distributed sort read-off
+    (``ops.relational.dataset_quantiles_disc`` — quantile_disc
+    semantics, O(blocks) driver traffic), and the quality / repetition /
+    LM gates are re-applied as pure per-doc PREDICATES (scalar cutoffs +
+    the broadcast LM vocab) recomputed inside each stage's map_batches —
+    no per-doc id array ever reaches the driver for the gates. The text
+    column is re-read from Parquet per stage and never shuffled until
+    the final shard sort. The one surviving id SET (the dedup winners ∖
+    contaminated ∖ benchmark) is broadcast below *max_broadcast_ids*
+    (slim int64, ``ray.put`` once) and switches to the hash-partitioned
+    semi-join of the ``exact_dedup_incremental`` pattern above it (text
+    crosses one coarse ``doc_id % n_parts`` shuffle right before the
+    export sort). Returns per-stage survivor counts plus the sink
+    result; an empty survivor set at any stage short-circuits with
+    zeroed downstream counts.
 
     Not on the driver query surface (50-query cap); e2e-tested in
-    tests/test_ops.py::test_webtext_refine_end_to_end."""
+    tests/test_ops.py::test_webtext_refine_end_to_end, forced-semi-join
+    parity in test_webtext_refine_semijoin_parity."""
     import numpy as np
     import ray
 
-    from zeno_ray.ops.dedup import exact_dedup, ngram_decontaminate
+    from zeno_ray.ops.dedup import (_coarse_n_parts, exact_dedup,
+                                    ngram_decontaminate)
     from zeno_ray.ops.pack import shuffle_shard_export
-    from zeno_ray.ops.text import (lm_score, quality_features,
+    from zeno_ray.ops.relational import dataset_quantiles_disc
+    from zeno_ray.ops.text import (lm_fit, lm_score_ds, quality_features,
                                    repetition_features)
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
@@ -272,95 +290,163 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
         stats["shards"] = {"written": [], "skipped": []}
         return stats
 
-    def in_sorted(values, sorted_arr):
-        # membership against a SORTED id array via searchsorted — avoids
-        # np.isin re-sorting the broadcast set for every batch
-        pos = np.searchsorted(sorted_arr, values)
-        safe = np.minimum(pos, max(len(sorted_arr) - 1, 0))
-        return (pos < len(sorted_arr)) & (sorted_arr[safe] == values)
-
-    def ids_of(pdf) -> "np.ndarray":
-        if len(pdf) == 0 or "doc_id" not in pdf.columns:
-            return np.array([], dtype=np.int64)
-        out = pdf["doc_id"].to_numpy(np.int64)
-        out.sort()
-        return out
-
-    # 1a. quality gate: fraction kept by quantile of the score
-    def qscore(df):
-        q = quality_features(df)
-        return q[["doc_id", "quality"]]
-
+    # 1a. quality cutoff via the distributed sort read-off; the gate is
+    # henceforth the PREDICATE quality >= q_cut, recomputed per batch
     qscores = docs(["doc_id", "text"]).map_batches(
-        qscore, batch_format="pandas").to_pandas()
-    q_cut = np.quantile(qscores["quality"].to_numpy(),
-                        1.0 - quality_keep_frac) if len(qscores) else 0.0
-    q_ids = ids_of(qscores[qscores["quality"] >= q_cut])
-    stats["after_quality"] = len(q_ids)
-    if not len(q_ids):
+        lambda df: quality_features(df)[["doc_id", "quality"]],
+        batch_format="pandas")
+    (q_cut,), _n = dataset_quantiles_disc(
+        qscores, "quality", (1.0 - quality_keep_frac,))
+
+    def gate_q(df):
+        return df[quality_features(df)["quality"].to_numpy() >= q_cut]
+
+    stats["after_quality"] = docs(["doc_id", "text"]).map_batches(
+        gate_q, batch_format="pandas").count()
+    if not stats["after_quality"]:
         return short_circuit("after_quality")
-    q_ref = ray.put(q_ids)
 
-    # 1b. repetition gate on the survivors
-    def rep_ids(df):
-        mask = in_sorted(df["doc_id"].to_numpy(), ray.get(q_ref))
-        r = repetition_features(df[mask])
-        return r.loc[r["top_word_frac"] <= top_word_frac_max, ["doc_id"]]
+    # 1b. repetition gate — a fixed-threshold predicate on the quality
+    # survivors (docs with < 2 words have no bigrams and fail the gate,
+    # mirroring repetition_features' drop semantics)
+    def gate_qr(df):
+        sub = gate_q(df)
+        r = repetition_features(sub)
+        good = r.loc[r["top_word_frac"] <= top_word_frac_max, "doc_id"]
+        return sub[sub["doc_id"].isin(set(good))]
 
-    r_ids = ids_of(docs(["doc_id", "text"]).map_batches(
-        rep_ids, batch_format="pandas").to_pandas())
-    stats["after_repetition"] = len(r_ids)
-    if not len(r_ids):
+    stats["after_repetition"] = docs(["doc_id", "text"]).map_batches(
+        gate_qr, batch_format="pandas").count()
+    if not stats["after_repetition"]:
         return short_circuit("after_repetition")
-    r_ref = ray.put(r_ids)
 
-    # 2. LM gate on the survivors
-    def survivors(df):
-        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(r_ref))]
+    # 2. LM gate: model fit on the stage-1 survivors, cutoff via the
+    # distributed read-off over the LAZY score dataset — per-doc scores
+    # never land on the driver
+    surv12 = docs(["doc_id", "text"]).map_batches(
+        gate_qr, batch_format="pandas")
+    lm_model = lm_fit(surv12)
+    (lm_cut,), _ = dataset_quantiles_disc(
+        lm_score_ds(surv12, lm_model), "lm_score", (1.0 - lm_keep_frac,))
 
-    surv_ds = docs(["doc_id", "text"]).map_batches(
-        survivors, batch_format="pandas")
-    scores = lm_score(surv_ds)
-    cutoff = np.quantile(scores["lm_score"].to_numpy(),
-                         1.0 - lm_keep_frac) if len(scores) else 0.0
-    lm_ids = ids_of(scores[scores["lm_score"] >= cutoff])
-    stats["after_lm"] = len(lm_ids)
-    if not len(lm_ids):
+    # per-batch LM scorer against the broadcast model — the identical
+    # math of lm_score_ds's kernel, applied inside the gate predicate
+    def lm_batch_scores(sub):
+        import pandas as pd
+
+        h_sorted, cnts, total, oov_count = ray.get(lm_model)
+        words_per_doc = [t.split(" ") for t in sub["text"]]
+        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                           count=len(words_per_doc))
+        flat: list = []
+        for w in words_per_doc:
+            flat.extend(w)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
+        pos = np.searchsorted(h_sorted, uh)
+        safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
+        hit = (pos < len(h_sorted)) & (h_sorted[safe] == uh)
+        uc = np.where(hit, cnts[safe], oov_count).astype(np.float64)
+        per_tok = np.log(uc / total)[codes]
+        ids = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
+        sums = np.bincount(ids, weights=per_tok, minlength=len(sub))
+        mean = sums / np.maximum(lens, 1)
+        return np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5), mean) / 1e6
+
+    def gate_qrl(df):
+        sub = gate_qr(df)
+        if not len(sub):
+            return sub
+        return sub[lm_batch_scores(sub) >= lm_cut]
+
+    stats["after_lm"] = docs(["doc_id", "text"]).map_batches(
+        gate_qrl, batch_format="pandas").count()
+    if not stats["after_lm"]:
         return short_circuit("after_lm")
-    lm_ref = ray.put(lm_ids)
 
-    def lm_survivors(df):
-        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(lm_ref))]
-
-    # 3. exact dedup on the survivors
-    kept = exact_dedup(docs(["doc_id", "text"]).map_batches(
-        lm_survivors, batch_format="pandas")).to_pandas()
-    dd_ids = ids_of(kept)
-    stats["after_dedup"] = len(dd_ids)
-    if not len(dd_ids):
+    # 3. exact dedup on the gated survivors — winners stay a slim
+    # distributed (doc_id, text_hash) dataset
+    winners = exact_dedup(docs(["doc_id", "text"]).map_batches(
+        gate_qrl, batch_format="pandas")).materialize()
+    stats["after_dedup"] = winners.count()
+    if not stats["after_dedup"]:
         return short_circuit("after_dedup")
-    dd_ref = ray.put(dd_ids)
 
-    def dd_survivors(df):
-        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(dd_ref))]
-
-    # 4. decontamination: drop survivors sharing grams with the benchmark
-    contaminated = ngram_decontaminate(docs(["doc_id", "text"]).map_batches(
-        dd_survivors, batch_format="pandas"))
+    # 4. decontamination over the FULL corpus (bench grams must include
+    # benchmark docs the gates dropped), plus the benchmark docs
+    # themselves excluded from the final set
+    contaminated = ngram_decontaminate(docs(["doc_id", "text"]),
+                                       bench_mod=bench_mod)
     bad = set(contaminated["doc_id"].tolist())
-    final_ids = np.array([i for i in dd_ids if i not in bad], dtype=np.int64)
-    stats["after_decontaminate"] = len(final_ids)
-    if not len(final_ids):
+    bad_ref = ray.put(np.array(sorted(bad), dtype=np.int64))
+
+    def final_filter(df):
+        ids = df["doc_id"].to_numpy(np.int64)
+        b = ray.get(bad_ref)
+        pos = np.searchsorted(b, ids)
+        safe = np.minimum(pos, max(len(b) - 1, 0))
+        contaminated_mask = (pos < len(b)) & (b[safe] == ids) \
+            if len(b) else np.zeros(len(ids), dtype=bool)
+        return df[~contaminated_mask & (ids % bench_mod != 0)]
+
+    final = winners.map_batches(final_filter,
+                                batch_format="pandas").materialize()
+    stats["after_decontaminate"] = final.count()
+    if not stats["after_decontaminate"]:
         return short_circuit("after_decontaminate")
-    f_ref = ray.put(final_ids)
 
-    def final_survivors(df):
-        return df[in_sorted(df["doc_id"].to_numpy(), ray.get(f_ref))]
+    # 5. shuffled shard export: filter the full-width docs down to the
+    # final winner set — broadcast ids below the bound, hash-partitioned
+    # semi-join (the exact_dedup_incremental pattern) above it
+    full = docs(["doc_id", "text", "lang", "source"])
+    if stats["after_decontaminate"] <= max_broadcast_ids:
+        fid = final.to_pandas()["doc_id"].to_numpy(np.int64)
+        fid.sort()
+        f_ref = ray.put(fid)
 
-    # 5. shuffled shard export of the surviving documents
-    sink = shuffle_shard_export(
-        docs(["doc_id", "text", "lang", "source"]).map_batches(
-            final_survivors, batch_format="pandas"),
-        out_dir, n_shards=n_shards, resume=resume)
+        def final_survivors(df):
+            ids = df["doc_id"].to_numpy(np.int64)
+            s = ray.get(f_ref)
+            pos = np.searchsorted(s, ids)
+            safe = np.minimum(pos, max(len(s) - 1, 0))
+            return df[(pos < len(s)) & (s[safe] == ids)]
+
+        export_ds = full.map_batches(final_survivors, batch_format="pandas")
+    else:
+        n_parts = _coarse_n_parts()
+
+        def doc_side(df):
+            return df.assign(
+                side=np.zeros(len(df), dtype=np.int8),
+                part=(df["doc_id"].to_numpy(np.int64)
+                      % n_parts).astype("int64"))
+
+        def id_side(df):
+            import pandas as pd
+
+            k = len(df)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": np.full(k, "", dtype=object),
+                "lang": np.full(k, "", dtype=object),
+                "source": np.full(k, "", dtype=object),
+                "side": np.ones(k, dtype=np.int8),
+                "part": (df["doc_id"].to_numpy(np.int64)
+                         % n_parts).astype("int64")})
+
+        def keep_in_part(g):
+            keep = set(g.loc[g["side"] == 1, "doc_id"])
+            d = g[g["side"] == 0]
+            return d[d["doc_id"].isin(keep)][
+                ["doc_id", "text", "lang", "source"]]
+
+        export_ds = (
+            full.map_batches(doc_side, batch_format="pandas")
+            .union(final.map_batches(id_side, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(keep_in_part, batch_format="pandas"))
+
+    sink = shuffle_shard_export(export_ds, out_dir, n_shards=n_shards,
+                                resume=resume)
     stats["shards"] = sink
     return stats
