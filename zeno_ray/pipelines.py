@@ -301,11 +301,6 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     def gate_q(df):
         return df[quality_features(df)["quality"].to_numpy() >= q_cut]
 
-    stats["after_quality"] = docs(["doc_id", "text"]).map_batches(
-        gate_q, batch_format="pandas").count()
-    if not stats["after_quality"]:
-        return short_circuit("after_quality")
-
     # 1b. repetition gate — a fixed-threshold predicate on the quality
     # survivors (docs with < 2 words have no bigrams and fail the gate,
     # mirroring repetition_features' drop semantics)
@@ -315,8 +310,23 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
         good = r.loc[r["top_word_frac"] <= top_word_frac_max, "doc_id"]
         return sub[sub["doc_id"].isin(set(good))]
 
-    stats["after_repetition"] = docs(["doc_id", "text"]).map_batches(
-        gate_qr, batch_format="pandas").count()
+    # both stage counts from ONE corpus pass (per-batch count partials;
+    # quality computed once per batch, not once per gate)
+    def gate_count_partials(df):
+        import pandas as pd
+
+        sub = gate_q(df)
+        r = repetition_features(sub)
+        good = r.loc[r["top_word_frac"] <= top_word_frac_max, "doc_id"]
+        nqr = int(sub["doc_id"].isin(set(good)).sum())
+        return pd.DataFrame({"nq": [len(sub)], "nqr": [nqr]})
+
+    cnt = docs(["doc_id", "text"]).map_batches(
+        gate_count_partials, batch_format="pandas").to_pandas()
+    stats["after_quality"] = int(cnt["nq"].sum())
+    if not stats["after_quality"]:
+        return short_circuit("after_quality")
+    stats["after_repetition"] = int(cnt["nqr"].sum())
     if not stats["after_repetition"]:
         return short_circuit("after_repetition")
 
