@@ -1,9 +1,11 @@
 """sf1.0-class crawl probe — the 128-GiB-ceiling audit (VERDICT r4 item 6).
 
 Builds the deterministic synthetic corpus at RAYZENO_PROBE_SF (default
-1.0 ≈ 21 M-page universe, ~2.5x the sf0.3 leg that proved flat
-throughput), drains writeback, then runs ONE headline-config crawl in
-this fresh Ray session while sampling node memory. Prints one JSON line:
+1.0 ≈ 20M-URL universe / ~21M fetched pages, ~2.5x the sf0.3 leg that
+proved flat throughput) UNTIMED in an isolated subprocess + Ray session
+(the bench.py writeback-contamination discipline), drains writeback,
+then runs ONE headline-config crawl in this fresh Ray session while
+sampling node memory. Prints one JSON line:
 
     {"sf": ..., "corpus_build_sec": ..., "crawl_sec": ..., "pages": ...,
      "pages_per_sec": ..., "epochs": ..., "seen_size": ...,
@@ -41,15 +43,32 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     from zeno_ray.config import CrawlConfig
-    from zeno_ray.corpus import CorpusSpec, corpus_dir_for_sf, ensure_corpus
+    from zeno_ray.corpus import CorpusSpec
     from zeno_ray.crawl import run_crawl, warm_cluster
 
     spec = CorpusSpec.for_sf(sf)
     t0 = time.perf_counter()
-    ensure_corpus(spec, corpus_dir_for_sf(sf))
+    # isolated subprocess + own Ray session: the timed crawl below must
+    # not inherit the build's plasma/writeback pressure (BASELINE.md r5)
+    import subprocess
+
+    code = (
+        "import ray; import zeno_ray;"
+        f"ray.init(address='local', num_cpus={ncpus},"
+        " include_dashboard=False, logging_level='ERROR',"
+        " runtime_env=zeno_ray.runtime_env());"
+        "from zeno_ray.corpus import CorpusSpec,ensure_corpus,corpus_dir_for_sf;"
+        f"ensure_corpus(CorpusSpec.for_sf({sf}),corpus_dir_for_sf({sf}));"
+        "ray.shutdown()"
+    )
+    sub = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if sub.returncode != 0:
+        raise RuntimeError("corpus build subprocess failed")
     build_sec = time.perf_counter() - t0
     os.sync()
-    time.sleep(5)
+    time.sleep(10)
     warm_cluster(ncpus)
 
     peak = {"node_used_gb": 0.0}

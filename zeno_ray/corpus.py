@@ -66,7 +66,7 @@ class PageRecord:
 
 
 _PAGE_RE = re.compile(
-    r"^https://(?P<host>host(?P<i>\d{4})\.example)(?P<path>/.*)$"
+    r"^https://(?P<host>host(?P<i>\d{4,})\.example)(?P<path>/.*)$"
 )
 
 # bump when generated content changes — ensure_corpus regenerates any
@@ -96,7 +96,12 @@ class CorpusSpec:
             # bench scale: ~2M-row universe so crawl compute dominates the
             # per-epoch scheduling floor (the scaling-efficiency regime)
             return cls(n_hosts=2000, pages_per_host=800)
-        return cls(n_hosts=6000, pages_per_host=1000)
+        if sf <= 0.5:
+            # bigsf battery scale (~8M fetched pages)
+            return cls(n_hosts=6000, pages_per_host=1000)
+        # probe scale: ~20M-URL universe (~21M fetched incl. alias
+        # redirects), the 2.5x step past sf0.3 for the memory-ceiling audit
+        return cls(n_hosts=16000, pages_per_host=1000)
 
     def host(self, i: int) -> str:
         return f"host{i:04d}.example"
