@@ -80,7 +80,13 @@ def _crawl_leg_subprocess() -> dict:
     time.sleep(3)
     p = subprocess.run([sys.executable, "bench.py"], env=env,
                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                       capture_output=True, text=True, check=True)
+                       capture_output=True, text=True)
+    if p.returncode != 0:
+        # surface the leg's diagnostics — a silent CalledProcessError
+        # makes an official bench failure undebuggable
+        print(p.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError(
+            f"crawl leg subprocess failed (exit {p.returncode})")
     return json.loads(p.stdout.strip().splitlines()[-1])
 
 
@@ -430,7 +436,11 @@ def run_scaling() -> dict:
         time.sleep(3)
         p = subprocess.run([sys.executable, "bench.py"], env=env,
                            cwd=os.path.dirname(os.path.abspath(__file__)),
-                           capture_output=True, text=True, check=True)
+                           capture_output=True, text=True)
+        if p.returncode != 0:
+            print(p.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(
+                f"scaling leg subprocess failed (exit {p.returncode})")
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     def best_of(ncpu: int, n: int = 3) -> dict:

@@ -35,12 +35,6 @@ def main() -> None:
 
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf = float(os.environ.get("RAYZENO_PROBE_SF", "1.0"))
-    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
-             logging_level="ERROR", runtime_env=zeno_ray.runtime_env())
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
 
     from zeno_ray.config import CrawlConfig
     from zeno_ray.corpus import CorpusSpec
@@ -49,7 +43,11 @@ def main() -> None:
     spec = CorpusSpec.for_sf(sf)
     t0 = time.perf_counter()
     # isolated subprocess + own Ray session: the timed crawl below must
-    # not inherit the build's plasma/writeback pressure (BASELINE.md r5)
+    # not inherit the build's plasma/writeback pressure (BASELINE.md r5).
+    # The parent's Ray session starts only AFTER the build returns, so a
+    # second object store never coexists with the build's — the largest
+    # memory event of the run must not fight the probe's own plasma
+    # reservation on the very host being memory-audited.
     import subprocess
 
     code = (
@@ -69,6 +67,13 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     os.sync()
     time.sleep(10)
+
+    ray.init(address="local", num_cpus=ncpus, include_dashboard=False,
+             logging_level="ERROR", runtime_env=zeno_ray.runtime_env())
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
     warm_cluster(ncpus)
 
     peak = {"node_used_gb": 0.0}

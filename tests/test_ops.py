@@ -737,6 +737,19 @@ def test_ngram_decontaminate_matches_bruteforce(ray_session):
     assert 5 in want and 7 in want  # the planted overlaps were found
 
 
+def test_ngram_decontaminate_no_bench_docs(ray_session):
+    """A corpus with NO benchmark docs (no doc_id % bench_mod == 0) must
+    yield an empty typed result, not crash — a zero-row Dataset's
+    to_pandas() drops the gram column entirely."""
+    from zeno_ray.ops.dedup import ngram_decontaminate
+
+    docs = [{"doc_id": i, "text": "a b c d e f g h"} for i in (1, 2, 3)]
+    got = ngram_decontaminate(rd.from_items(docs), n=5, bench_mod=29)
+    assert len(got) == 0
+    assert list(got.columns) == ["doc_id", "n_shared"]
+    assert str(got["doc_id"].dtype) == "int64"
+
+
 # ------------------------------------------------- retention cohorts
 
 

@@ -79,7 +79,8 @@ def _patch_schema_dedup() -> None:
     _orig = _tp.unify_schemas
 
     def unify_schemas(schemas, **kwargs):
-        try:
+        schemas = list(schemas)  # a one-shot iterable must survive the
+        try:                     # fast path failing into the fallback
             bare = {s.remove_metadata() for s in schemas}
             if len(bare) == 1:
                 return bare.pop()

@@ -82,7 +82,8 @@ def _coarse_n_parts() -> int:
         if _ray.is_initialized() else 64
 
 
-def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text",
+                prehashed: bool = False):
     """Keep the lowest-id row per exact text. Returns a Dataset of the
     surviving rows' ids + hash.
 
@@ -90,9 +91,14 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     keyed shuffle (part = hash % n_parts, so every copy of a text lands
     in one part) → ONE vectorized sort + drop_duplicates per part. Never
     a raw ``groupby(hash)``: at 10^9 docs that is ~10^9 tiny pandas
-    groups, each paying Python dispatch."""
+    groups, each paying Python dispatch.
+
+    With ``prehashed=True`` the input already carries a ``text_hash``
+    column (e.g. a pipeline that hashed while gating, saving a corpus
+    re-read) and the hashing pass is skipped."""
     n_parts = _coarse_n_parts()
-    hashed = docs_ds.map_batches(add_text_hash, batch_format="pandas")
+    hashed = docs_ds if prehashed else docs_ds.map_batches(
+        add_text_hash, batch_format="pandas")
 
     def to_part(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[id_col, "text_hash"]].sort_values(
@@ -1755,7 +1761,30 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
     Grams are compared as 64-bit hashes: a false share needs a blake2b+
     splitmix collision (~n²/2⁶⁴ — negligible, and absent at oracle
     scale, where the DuckDB oracle joins on the gram STRINGS)."""
+    empty_out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_shared": pd.Series([], dtype="int64")})
+    pdf = ngram_decontaminate_ds(docs_ds, n=n, bench_mod=bench_mod,
+                                 id_col=id_col, text_col=text_col).to_pandas()
+    if pdf.empty:
+        return empty_out
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_decontaminate_ds(docs_ds, n: int = 5, bench_mod: int = 29,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """Lazy-Dataset variant of :func:`ngram_decontaminate`: identical
+    contamination semantics, but the per-doc (doc_id, n_shared) result
+    stays a DISTRIBUTED (unsorted) Dataset — no per-doc row reaches the
+    driver, so a caller whose contaminated-id set may outgrow driver
+    memory (webtext_refine past its broadcast bound) can anti-join
+    against it in the cluster. The bench GRAM array is still collected
+    and broadcast below ``NGRAM_BENCH_BROADCAST_BYTES`` (eval suites
+    are small — the op's premise), with the keyed-shuffle fallback
+    above it; in the fallback the per-doc sum of gram-part partials is
+    reduced by a second coarse ``doc_id % n_parts`` groupby instead of
+    on the driver."""
     import ray
+    import ray.data as rd
 
     mults = _pos_mults(n)
     empty_out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -1769,9 +1798,12 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
 
     bench_pdf = docs_ds.map_batches(
         bench_grams_of_batch, batch_format="pandas").to_pandas()
-    bench = np.unique(bench_pdf["gram"].to_numpy(np.int64))  # sorted
+    # a zero-row Dataset's to_pandas() can drop the column entirely
+    # (no bench docs at all) — treat it as an empty gram set
+    bench = np.unique(bench_pdf["gram"].to_numpy(np.int64)) \
+        if "gram" in bench_pdf.columns else np.array([], dtype=np.int64)
     if len(bench) == 0:
-        return empty_out
+        return rd.from_pandas(empty_out)
 
     if bench.nbytes <= NGRAM_BENCH_BROADCAST_BYTES:
         bench_ref = ray.put(bench)
@@ -1790,11 +1822,7 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
             return pd.DataFrame({"doc_id": docs,
                                  "n_shared": counts.astype("int64")})
 
-        pdf = docs_ds.map_batches(count_shared,
-                                  batch_format="pandas").to_pandas()
-        if pdf.empty:
-            return empty_out
-        return pdf.sort_values("doc_id").reset_index(drop=True)
+        return docs_ds.map_batches(count_shared, batch_format="pandas")
 
     # ---- fallback: bench set too large to broadcast — keyed shuffle
     n_parts = _coarse_n_parts()
@@ -1816,17 +1844,23 @@ def ngram_decontaminate(docs_ds, n: int = 5, bench_mod: int = 29,
         return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
                              "n_shared": out["size"].astype("int64")})
 
-    pdf = (
+    def rekey_by_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(part2=(df["doc_id"].to_numpy(np.int64)
+                                % n_parts).astype("int64"))
+
+    def sum_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)["n_shared"].sum()
+        return pd.DataFrame({"doc_id": out["doc_id"].astype("int64"),
+                             "n_shared": out["n_shared"].astype("int64")})
+
+    return (
         docs_ds.map_batches(gram_rows, batch_format="pandas")
         .groupby("part")
         .map_groups(shared_in_part, batch_format="pandas")
-        .to_pandas()
+        .map_batches(rekey_by_doc, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(sum_in_part, batch_format="pandas")
     )
-    if pdf.empty:
-        return empty_out
-    out = pdf.groupby("doc_id", as_index=False)["n_shared"].sum()
-    out["n_shared"] = out["n_shared"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # --------------------------------------------- incremental (cross-snapshot)

@@ -498,6 +498,39 @@ def lm_fit(docs_ds, vocab_size: int = 200_000, oov_count: int = 1):
                     oov_count))
 
 
+def lm_batch_scores(texts, model):
+    """The unigram-LM scoring kernel for ONE batch of texts against an
+    :func:`lm_fit` model tuple ``(sorted token-hash table, counts,
+    corpus total, oov_count)``. Returns ``(scores, lens)`` where scores
+    is ROUND-half-away(mean ln p, 6) per doc (DuckDB semantics; scores
+    are negative) and lens the per-doc token counts.
+
+    This is the SINGLE copy of the numerically sensitive math
+    (factorize → searchsorted → bincount → copysign rounding): both
+    :func:`lm_score_ds` and ``webtext_refine``'s LM gate predicate call
+    it, so a quantile cutoff computed over the former always partitions
+    exactly as the latter filters."""
+    words_per_doc = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
+                       count=len(words_per_doc))
+    flat: list = []
+    for w in words_per_doc:
+        flat.extend(w)
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    h_sorted, cnts, total, oov_count = model
+    uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
+    pos = np.searchsorted(h_sorted, uh)
+    safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
+    hit = (pos < len(h_sorted)) & (h_sorted[safe] == uh)
+    uc = np.where(hit, cnts[safe], oov_count).astype(np.float64)
+    per_tok = np.log(uc / total)[codes]
+    ids = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    sums = np.bincount(ids, weights=per_tok, minlength=len(lens))
+    mean = sums / np.maximum(lens, 1)
+    rounded = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5), mean) / 1e6
+    return rounded, lens
+
+
 def lm_score_ds(docs_ds, model_ref):
     """Score pass of :func:`lm_score` against a :func:`lm_fit` model:
     ONE shuffle-free ``map_batches`` returning a slim LAZY Dataset
@@ -505,25 +538,7 @@ def lm_score_ds(docs_ds, model_ref):
     import ray
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        words_per_doc = [t.split(" ") for t in df["text"]]
-        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                           count=len(words_per_doc))
-        flat: list = []
-        for w in words_per_doc:
-            flat.extend(w)
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        h_sorted, cnts, t, oov_count = ray.get(model_ref)
-        uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
-        pos = np.searchsorted(h_sorted, uh)
-        safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
-        hit = (pos < len(h_sorted)) & (h_sorted[safe] == uh)
-        uc = np.where(hit, cnts[safe], oov_count).astype(np.float64)
-        per_tok = np.log(uc / t)[codes]
-        ids = np.repeat(np.arange(len(df), dtype=np.int64), lens)
-        sums = np.bincount(ids, weights=per_tok, minlength=len(df))
-        mean = sums / np.maximum(lens, 1)
-        # ROUND half-AWAY-from-zero (DuckDB semantics; scores are negative)
-        rounded = np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5), mean) / 1e6
+        rounded, lens = lm_batch_scores(df["text"], ray.get(model_ref))
         return pd.DataFrame({
             "doc_id": df["doc_id"].to_numpy(np.int64),
             "n_tokens": lens,

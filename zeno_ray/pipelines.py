@@ -253,27 +253,33 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     the broadcast LM vocab) recomputed inside each stage's map_batches —
     no per-doc id array ever reaches the driver for the gates. The text
     column is re-read from Parquet per stage and never shuffled until
-    the final shard sort. The one surviving id SET (the dedup winners ∖
-    contaminated ∖ benchmark) is broadcast below *max_broadcast_ids*
-    (slim int64, ``ray.put`` once) and switches to the hash-partitioned
-    semi-join of the ``exact_dedup_incremental`` pattern above it (text
-    crosses one coarse ``doc_id % n_parts`` shuffle right before the
-    export sort). Returns per-stage survivor counts plus the sink
-    result; an empty survivor set at any stage short-circuits with
-    zeroed downstream counts.
+    the final shard sort; the final gate pass hashes while gating, so
+    the dedup input is the slim (doc_id, text_hash) projection of that
+    same pass (no extra 3-gate corpus re-scan for the after_lm count).
+    BOTH driver-adjacent id sets honor *max_broadcast_ids*: the
+    contaminated set (``ngram_decontaminate_ds`` stays a distributed
+    Dataset; broadcast below the bound, cluster-side anti-join on
+    ``doc_id % n_parts`` above it) and the surviving id set (winners ∖
+    contaminated ∖ benchmark — broadcast below, hash-partitioned
+    semi-join of the ``exact_dedup_incremental`` pattern above, where
+    text crosses one coarse shuffle right before the export sort).
+    Returns per-stage survivor counts plus the sink result; an empty
+    survivor set at any stage short-circuits with zeroed downstream
+    counts.
 
     Not on the driver query surface (50-query cap); e2e-tested in
     tests/test_ops.py::test_webtext_refine_end_to_end, forced-semi-join
     parity in test_webtext_refine_semijoin_parity."""
     import numpy as np
+    import pandas as pd
     import ray
 
-    from zeno_ray.ops.dedup import (_coarse_n_parts, exact_dedup,
-                                    ngram_decontaminate)
+    from zeno_ray.ops.dedup import (_coarse_n_parts, add_text_hash,
+                                    exact_dedup, ngram_decontaminate_ds)
     from zeno_ray.ops.pack import shuffle_shard_export
     from zeno_ray.ops.relational import dataset_quantiles_disc
-    from zeno_ray.ops.text import (lm_fit, lm_score_ds, quality_features,
-                                   repetition_features)
+    from zeno_ray.ops.text import (lm_batch_scores, lm_fit, lm_score_ds,
+                                   quality_features, repetition_features)
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
 
@@ -339,68 +345,87 @@ def webtext_refine(sf_dir: str, out_dir: str, n_shards: int = 8,
     (lm_cut,), _ = dataset_quantiles_disc(
         lm_score_ds(surv12, lm_model), "lm_score", (1.0 - lm_keep_frac,))
 
-    # per-batch LM scorer against the broadcast model — the identical
-    # math of lm_score_ds's kernel, applied inside the gate predicate
-    def lm_batch_scores(sub):
-        import pandas as pd
-
-        h_sorted, cnts, total, oov_count = ray.get(lm_model)
-        words_per_doc = [t.split(" ") for t in sub["text"]]
-        lens = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64,
-                           count=len(words_per_doc))
-        flat: list = []
-        for w in words_per_doc:
-            flat.extend(w)
-        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-        uh = pd.util.hash_array(np.asarray(uniq, dtype=object))
-        pos = np.searchsorted(h_sorted, uh)
-        safe = np.minimum(pos, max(len(h_sorted) - 1, 0))
-        hit = (pos < len(h_sorted)) & (h_sorted[safe] == uh)
-        uc = np.where(hit, cnts[safe], oov_count).astype(np.float64)
-        per_tok = np.log(uc / total)[codes]
-        ids = np.repeat(np.arange(len(sub), dtype=np.int64), lens)
-        sums = np.bincount(ids, weights=per_tok, minlength=len(sub))
-        mean = sums / np.maximum(lens, 1)
-        return np.copysign(np.floor(np.abs(mean) * 1e6 + 0.5), mean) / 1e6
-
+    # per-batch gate predicate: the SHARED lm_batch_scores kernel (the
+    # same function lm_score_ds used for the cutoff quantile)
     def gate_qrl(df):
         sub = gate_qr(df)
         if not len(sub):
             return sub
-        return sub[lm_batch_scores(sub) >= lm_cut]
+        scores, _lens = lm_batch_scores(sub["text"], ray.get(lm_model))
+        return sub[scores >= lm_cut]
 
-    stats["after_lm"] = docs(["doc_id", "text"]).map_batches(
-        gate_qrl, batch_format="pandas").count()
+    # 3. exact dedup on the gated survivors — ONE gate pass hashes while
+    # gating (slim distributed (doc_id, text_hash) rows; the after_lm
+    # count and the dedup input share it, saving a full 3-gate corpus
+    # re-scan)
+    def gate_qrl_hashed(df):
+        sub = gate_qrl(df)
+        return add_text_hash(sub)[["doc_id", "text_hash"]]
+
+    surv_hashed = docs(["doc_id", "text"]).map_batches(
+        gate_qrl_hashed, batch_format="pandas").materialize()
+    stats["after_lm"] = surv_hashed.count()
     if not stats["after_lm"]:
         return short_circuit("after_lm")
 
-    # 3. exact dedup on the gated survivors — winners stay a slim
-    # distributed (doc_id, text_hash) dataset
-    winners = exact_dedup(docs(["doc_id", "text"]).map_batches(
-        gate_qrl, batch_format="pandas")).materialize()
+    winners = exact_dedup(surv_hashed, prehashed=True).materialize()
     stats["after_dedup"] = winners.count()
     if not stats["after_dedup"]:
         return short_circuit("after_dedup")
 
     # 4. decontamination over the FULL corpus (bench grams must include
     # benchmark docs the gates dropped), plus the benchmark docs
-    # themselves excluded from the final set
-    contaminated = ngram_decontaminate(docs(["doc_id", "text"]),
-                                       bench_mod=bench_mod)
-    bad = set(contaminated["doc_id"].tolist())
-    bad_ref = ray.put(np.array(sorted(bad), dtype=np.int64))
+    # themselves excluded from the final set. The contaminated-id set is
+    # broadcast below max_broadcast_ids and anti-joined in the cluster
+    # above it — the same bound discipline as the export filter (no
+    # unbounded per-doc id collect on the driver).
+    cont = ngram_decontaminate_ds(docs(["doc_id", "text"]),
+                                  bench_mod=bench_mod).materialize()
+    n_bad = cont.count()
+    if n_bad <= max_broadcast_ids:
+        bad_arr = cont.to_pandas()["doc_id"].to_numpy(np.int64) \
+            if n_bad else np.array([], dtype=np.int64)
+        bad_arr.sort()
+        bad_ref = ray.put(bad_arr)
 
-    def final_filter(df):
-        ids = df["doc_id"].to_numpy(np.int64)
-        b = ray.get(bad_ref)
-        pos = np.searchsorted(b, ids)
-        safe = np.minimum(pos, max(len(b) - 1, 0))
-        contaminated_mask = (pos < len(b)) & (b[safe] == ids) \
-            if len(b) else np.zeros(len(ids), dtype=bool)
-        return df[~contaminated_mask & (ids % bench_mod != 0)]
+        def final_filter(df):
+            ids = df["doc_id"].to_numpy(np.int64)
+            b = ray.get(bad_ref)
+            pos = np.searchsorted(b, ids)
+            safe = np.minimum(pos, max(len(b) - 1, 0))
+            contaminated_mask = (pos < len(b)) & (b[safe] == ids) \
+                if len(b) else np.zeros(len(ids), dtype=bool)
+            return df[~contaminated_mask & (ids % bench_mod != 0)]
 
-    final = winners.map_batches(final_filter,
-                                batch_format="pandas").materialize()
+        final = winners.map_batches(final_filter,
+                                    batch_format="pandas").materialize()
+    else:
+        anti_parts = _coarse_n_parts()
+
+        def win_side(df):
+            sub = df[df["doc_id"].to_numpy(np.int64) % bench_mod != 0]
+            ids = sub["doc_id"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "doc_id": ids, "side": np.zeros(len(sub), dtype=np.int8),
+                "part": (ids % anti_parts).astype("int64")})
+
+        def bad_side(df):
+            ids = df["doc_id"].to_numpy(np.int64)
+            return pd.DataFrame({
+                "doc_id": ids, "side": np.ones(len(df), dtype=np.int8),
+                "part": (ids % anti_parts).astype("int64")})
+
+        def drop_in_part(g):
+            bad_ids = set(g.loc[g["side"] == 1, "doc_id"])
+            d = g[g["side"] == 0]
+            return d[~d["doc_id"].isin(bad_ids)][["doc_id"]]
+
+        final = (
+            winners.map_batches(win_side, batch_format="pandas")
+            .union(cont.map_batches(bad_side, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(drop_in_part, batch_format="pandas")
+        ).materialize()
     stats["after_decontaminate"] = final.count()
     if not stats["after_decontaminate"]:
         return short_circuit("after_decontaminate")
