@@ -38,6 +38,16 @@ def test_exact_dedup_keeps_lowest_id(docs_ds):
     assert 100 not in kept and 101 not in kept
     assert 102 in kept  # near-dup is NOT an exact dup
 
+    # prehashed=True over an already-hashed slim projection must pick
+    # the identical winner set (webtext_refine's fused gate+hash path)
+    from zeno_ray.ops.dedup import add_text_hash
+
+    slim = docs_ds.map_batches(
+        lambda df: add_text_hash(df)[["doc_id", "text_hash"]],
+        batch_format="pandas")
+    kept_pre = set(exact_dedup(slim, prehashed=True).to_pandas()["doc_id"])
+    assert kept_pre == kept
+
 
 def test_minhash_clusters_exact_and_near_dups(docs_ds):
     from zeno_ray.ops.dedup import minhash_dedup
